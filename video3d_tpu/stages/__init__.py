@@ -1,0 +1,19 @@
+"""Pipeline stages: the public stage API layer (SURVEY.md SS1).
+
+``VideoAligner`` (temporal alignment), ``StereoDepthExtractor`` (hybrid
+stereo depth), ``DepthUpscaler`` (guided 4K upscale + encode) and
+``AlignedExtractor`` (synchronized segment cutting), mirroring the
+reference's stage classes with the TPU compute path underneath.
+"""
+
+from video3d_tpu.stages.align import (
+    VideoAligner,
+    apply_offset_to_pipeline,
+    load_alignment_data,
+)
+
+__all__ = [
+    "VideoAligner",
+    "apply_offset_to_pipeline",
+    "load_alignment_data",
+]
