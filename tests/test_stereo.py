@@ -1,0 +1,181 @@
+"""Stereo matcher: ground-truth recovery and statistical parity vs cv2 SGBM."""
+
+import cv2
+import numpy as np
+import pytest
+
+from video3d_tpu.ops.speckle import speckle_filter_device, speckle_filter_exact
+from video3d_tpu.ops.stereo import (
+    SGBMParams,
+    bt_cost_volume,
+    box_aggregate,
+    sgbm_disparity,
+    sgm_aggregate,
+    wta_disparity,
+    xsobel_clip,
+)
+
+H, W = 96, 160
+
+
+def _texture(rng, h=H, w=W):
+    """Strongly textured float image in [0, 255] (stereo needs texture)."""
+    img = rng.standard_normal((h, w)).astype(np.float32)
+    img = cv2.GaussianBlur(img, (0, 0), 1.2)
+    img = (img - img.min()) / (img.max() - img.min()) * 255.0
+    return img
+
+
+def _shift_right_view(left, disp):
+    """Right view where right(x) = left(x + disp): left features shift left."""
+    h, w = left.shape
+    xs = np.arange(w, dtype=np.float32)
+    out = np.empty_like(left)
+    for y in range(h):
+        out[y] = np.interp(xs + disp if np.isscalar(disp) else xs + disp[y],
+                           xs, left[y])
+    return out
+
+
+def test_constant_disparity_recovered(rng):
+    d_true = 12.0
+    left = _texture(rng)
+    right = _shift_right_view(left, d_true)
+    params = SGBMParams(num_disparities=32, speckle_window_size=0)
+    disp = np.asarray(sgbm_disparity(left[None], right[None], params))[0]
+    interior = disp[8:-8, 48:-8]
+    valid = interior >= 0
+    assert valid.mean() > 0.9
+    err = np.abs(interior[valid] - d_true)
+    assert np.median(err) < 0.35  # sub-pixel accuracy
+    assert (err < 1.0).mean() > 0.97
+
+
+def test_subpixel_constant_disparity(rng):
+    d_true = 7.25
+    left = _texture(rng)
+    right = _shift_right_view(left, d_true)
+    params = SGBMParams(num_disparities=32, speckle_window_size=0)
+    disp = np.asarray(sgbm_disparity(left[None], right[None], params))[0]
+    interior = disp[8:-8, 40:-8]
+    valid = interior >= 0
+    err = np.abs(interior[valid] - d_true)
+    assert np.median(err) < 0.5
+
+
+def test_slanted_plane_recovered(rng):
+    left = _texture(rng)
+    d_rows = np.linspace(4.0, 20.0, H).astype(np.float32)  # disparity per row
+    right = _shift_right_view(left, d_rows[:, None] * np.ones((H, W), np.float32))
+    params = SGBMParams(num_disparities=32, speckle_window_size=0)
+    disp = np.asarray(sgbm_disparity(left[None], right[None], params))[0]
+    ys = np.arange(8, H - 8)
+    med = np.array([np.median(disp[y, 40:-8][disp[y, 40:-8] >= 0]) for y in ys])
+    assert np.abs(med - d_rows[ys]).mean() < 0.8
+
+
+def test_against_cv2_sgbm(rng):
+    """Statistical agreement with OpenCV SGBM on a textured stereo pair."""
+    d_true = 10.0
+    left = _texture(rng)
+    right = _shift_right_view(left, d_true)
+    l8, r8 = left.astype(np.uint8), right.astype(np.uint8)
+
+    matcher = cv2.StereoSGBM_create(
+        minDisparity=0, numDisparities=32, blockSize=5,
+        P1=8 * 3 * 25, P2=32 * 3 * 25, disp12MaxDiff=1,
+        uniquenessRatio=10, speckleWindowSize=100, speckleRange=32,
+    )
+    ref = matcher.compute(l8, r8).astype(np.float32) / 16.0  # depth.py:341
+
+    params = SGBMParams(num_disparities=32)
+    ours = np.asarray(
+        sgbm_disparity(l8[None].astype(np.float32), r8[None].astype(np.float32),
+                       params)
+    )[0]
+
+    both = (ref[8:-8, 40:-8] >= 0) & (ours[8:-8, 40:-8] >= 0)
+    diff = np.abs(ref[8:-8, 40:-8] - ours[8:-8, 40:-8])[both]
+    assert both.mean() > 0.85  # agree on validity for most pixels
+    assert np.median(diff) < 0.5  # sub-pixel disparity tolerance
+    assert (diff < 1.0).mean() > 0.95
+
+
+def test_invalid_border_strip(rng):
+    """OpenCV invalidates all of x < minD + numD; we match that contract."""
+    left = _texture(rng)
+    right = _shift_right_view(left, 6.0)
+    params = SGBMParams(num_disparities=16, speckle_window_size=0)
+    disp = np.asarray(sgbm_disparity(left[None], right[None], params))[0]
+    assert (disp[:, :16] == -1.0).all()
+    assert (disp[:, 16:] >= 0).mean() > 0.8
+
+
+def test_flat_image_matches_cv2_zero_disparity(rng):
+    """cv2 SGBM on a flat pair returns valid disparity 0 (verified); so do we."""
+    left = np.full((H, W), 128.0, np.float32)
+    right = left.copy()
+    params = SGBMParams(num_disparities=16, speckle_window_size=0)
+    disp = np.asarray(sgbm_disparity(left[None], right[None], params))[0]
+    body = disp[:, 16:]
+    assert (body == 0.0).mean() > 0.9
+
+
+def test_batched_matches_single(rng):
+    left = np.stack([_texture(rng), _texture(rng)])
+    right = np.stack([_shift_right_view(left[0], 5.0),
+                      _shift_right_view(left[1], 9.0)])
+    params = SGBMParams(num_disparities=16, speckle_window_size=0)
+    batch = np.asarray(sgbm_disparity(left, right, params))
+    single = np.asarray(sgbm_disparity(left[1:2], right[1:2], params))
+    np.testing.assert_allclose(batch[1], single[0], atol=1e-4)
+
+
+def test_xsobel_range(rng):
+    g = _texture(rng)
+    out = np.asarray(xsobel_clip(g[None], 31))
+    assert out.min() >= 0.0 and out.max() <= 62.0
+
+
+def test_cost_volume_zero_at_match(rng):
+    left = _texture(rng)
+    vol = np.asarray(bt_cost_volume(left[None], left[None], 8))
+    # d=0 against itself: BT cost exactly 0
+    assert np.abs(vol[0, :, :, 0]).max() == 0.0
+    # larger disparities have positive cost away from border
+    assert vol[0, :, 16:, 4].mean() > 0.5
+
+
+def test_speckle_exact_removes_island():
+    disp = np.full((40, 40), 10.0, np.float32)
+    disp[10:13, 10:13] = 50.0  # 9-px island, diff 40 > max_diff
+    disp[0, :] = -1.0
+    out = speckle_filter_exact(disp, invalid=-1.0, max_diff=2.0, min_region=20)
+    assert (out[10:13, 10:13] == -1.0).all()
+    assert (out[20:, 20:] == 10.0).all()
+
+
+def test_speckle_device_removes_isolated_island():
+    disp = np.full((48, 48), -1.0, np.float32)
+    disp[4:44, 4:44] = 12.0  # big valid region
+    disp[20:23, 20:23] = 12.0  # connected, survives
+    iso = np.full((48, 48), -1.0, np.float32)
+    iso[10:13, 30:33] = 40.0
+    disp2 = np.where(iso > 0, np.float32(-1.0), disp)  # punch hole
+    disp2[10:13, 30:33] = 40.0  # island far (in value) from surroundings
+    out = np.asarray(
+        speckle_filter_device(disp2[None], invalid=-1.0, max_diff=2.0,
+                              min_region=60)
+    )[0]
+    assert (out[10:13, 30:33] == -1.0).all()  # island erased
+    assert out[24, 24] == 12.0  # bulk kept
+
+
+def test_speckle_device_keeps_smooth_gradient():
+    yy = np.linspace(0, 20, 64).astype(np.float32)
+    disp = np.tile(yy[:, None], (1, 64))
+    out = np.asarray(
+        speckle_filter_device(disp[None], invalid=-1.0, max_diff=2.0,
+                              min_region=50, value_range=(0.0, 21.0))
+    )[0]
+    assert (out == disp).all()

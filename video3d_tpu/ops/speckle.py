@@ -1,0 +1,118 @@
+"""Speckle filtering: remove small disparity blobs.
+
+OpenCV's ``filterSpeckles`` (run inside StereoSGBM with the reference's
+speckleWindowSize=100, speckleRange=32, depth.py:323-324) is a flood fill:
+pixels connect to 4-neighbors whose disparity differs by <= maxDiff, and
+components smaller than min_region are invalidated. Flood fill is
+value-dependent and SIMD-hostile (SURVEY.md SS7-v), so two variants:
+
+* ``speckle_filter_device`` -- jit-safe approximation: local support vote.
+  A pixel survives if at least ``min_region`` pixels inside the enclosing
+  window agree with it within ``max_diff``. Exact for isolated blobs
+  (the actual failure mode speckles exhibit); differs from flood fill for
+  snake-shaped components larger than the window.
+* ``speckle_filter_exact`` -- host-side exact connected components via
+  scipy.sparse.csgraph, for parity runs and as the test oracle.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def speckle_filter_device(
+    disp: jnp.ndarray,
+    invalid: float,
+    max_diff: float,
+    min_region: int,
+    value_range: tuple = (0.0, 64.0),
+) -> jnp.ndarray:
+    """Approximate speckle removal on device (batched, jit-safe).
+
+    ``disp`` is (..., H, W) float disparity with ``invalid`` marking holes.
+    Support is counted with a banded window vote: disparities are quantized
+    into bands of width ``max_diff`` and a pixel's supporters are the valid
+    window pixels in its own or adjacent bands (value difference guaranteed
+    <= 2*max_diff, always >= the exact |diff| <= max_diff count for
+    same-band pixels). Isolated blobs -- the failure mode speckle filtering
+    exists for -- are removed exactly as OpenCV's flood fill would; smooth
+    large regions are kept identically.
+    """
+    if min_region <= 0:
+        return disp
+    # window large enough that every pixel of a compact min_region blob
+    # still sees the whole blob
+    radius = max(2, int(math.ceil(math.sqrt(float(min_region)))))
+    valid = disp != invalid
+
+    lo, hi = float(value_range[0]), float(value_range[1])
+    n_bands = max(1, int(math.ceil((hi - lo) / float(max_diff)))) + 1
+    band = jnp.clip(
+        jnp.floor((disp - lo) / float(max_diff)).astype(jnp.int32), 0, n_bands - 1
+    )
+    one_hot = (
+        jax.nn.one_hot(band, n_bands, dtype=jnp.float32)
+        * valid[..., None].astype(jnp.float32)
+    )  # (..., H, W, n_bands)
+    # windowed count per band; one_hot has a trailing band axis, so count
+    # over the H/W axes which are now third/second from the end
+    counts = one_hot
+    for axis_from_end in (3, 2):
+        dims = [1] * counts.ndim
+        dims[-axis_from_end] = 2 * radius + 1
+        pad = [(0, 0)] * counts.ndim
+        pad[-axis_from_end] = (radius, radius)
+        counts = jax.lax.reduce_window(
+            counts, 0.0, jax.lax.add, tuple(dims), (1,) * counts.ndim, pad
+        )
+    # supporters: own band +- 1
+    take = lambda b: jnp.take_along_axis(counts, b[..., None], axis=-1)[..., 0]
+    support = take(band)
+    support = support + take(jnp.clip(band - 1, 0, n_bands - 1)) * (band > 0)
+    support = support + take(jnp.clip(band + 1, 0, n_bands - 1)) * (
+        band < n_bands - 1
+    )
+    keep = valid & (support >= float(min_region))
+    return jnp.where(keep, disp, jnp.float32(invalid))
+
+
+def speckle_filter_exact(
+    disp: np.ndarray,
+    invalid: float,
+    max_diff: float,
+    min_region: int,
+) -> np.ndarray:
+    """Exact OpenCV-style speckle removal on host (single frame, (H, W))."""
+    if min_region <= 0:
+        return disp
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    h, w = disp.shape
+    n = h * w
+    flat = disp.reshape(-1)
+    valid = flat != invalid
+    idx = np.arange(n).reshape(h, w)
+
+    rows, cols = [], []
+    # horizontal edges
+    a, b = idx[:, :-1].ravel(), idx[:, 1:].ravel()
+    ok = valid[a] & valid[b] & (np.abs(flat[a] - flat[b]) <= max_diff)
+    rows.append(a[ok]); cols.append(b[ok])
+    # vertical edges
+    a, b = idx[:-1, :].ravel(), idx[1:, :].ravel()
+    ok = valid[a] & valid[b] & (np.abs(flat[a] - flat[b]) <= max_diff)
+    rows.append(a[ok]); cols.append(b[ok])
+
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    graph = coo_matrix((np.ones(len(rows), np.int8), (rows, cols)), shape=(n, n))
+    n_comp, labels = connected_components(graph, directed=False)
+    sizes = np.bincount(labels, minlength=n_comp)
+    keep = valid & (sizes[labels] >= min_region)
+    out = np.where(keep, flat, np.float32(invalid)).astype(disp.dtype)
+    return out.reshape(h, w)

@@ -1,0 +1,329 @@
+"""Semi-global stereo matching, TPU-native (pure jnp reference path).
+
+Replaces OpenCV's C++ ``StereoSGBM`` (reference: depth.py:315-341) with a
+batched, jit-compiled formulation built for XLA/TPU:
+
+* X-Sobel prefilter clipped to ``[-cap, cap]`` and Birchfield-Tomasi
+  sampling-invariant pixel cost, matching OpenCV's cost model;
+* block (SAD-window) aggregation via ``lax.reduce_window`` box sums;
+* semi-global path aggregation as ``lax.scan`` over image columns/rows,
+  carrying a (B, rows, D) disparity-vector front -- the scan body is pure
+  VPU work vectorized over batch, rows and disparities; diagonal paths
+  reuse the row scan with a per-step lateral roll of the carry;
+* winner-take-all with quadratic sub-pixel interpolation, uniqueness-ratio
+  test and left-right consistency check, reproducing OpenCV's
+  invalidation semantics (invalid pixels -> ``min_disparity - 1``, which
+  the depth stage clamps to 0 exactly like the reference depth.py:374).
+
+Speckle filtering (value-dependent flood fill, SIMD-hostile) lives in
+:mod:`video3d_tpu.ops.speckle` with an exact host pass and an on-device
+approximation; deviation is flag-gated (SURVEY.md SS7-v).
+
+Parity with OpenCV is statistical, not bitwise (different path count and
+fixed-point details); tests assert sub-pixel agreement against analytic
+ground truth and close agreement with cv2 on textured scenes
+(SURVEY.md SS4-b).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+BIG = 1e9
+_SOBEL_CAP_BIG = jnp.float32(BIG)
+
+
+@dataclasses.dataclass(frozen=True)
+class SGBMParams:
+    """Matcher configuration; defaults mirror the reference depth.py:315-325."""
+
+    min_disparity: int = 0
+    num_disparities: int = 64
+    block_size: int = 5
+    p1: float = 600.0  # 8 * 3 * block_size**2 (depth.py:319)
+    p2: float = 2400.0  # 32 * 3 * block_size**2 (depth.py:320)
+    disp12_max_diff: int = 1
+    uniqueness_ratio: int = 10
+    speckle_window_size: int = 100
+    speckle_range: int = 32  # whole disparities, like OpenCV DISP_SCALE units
+    prefilter_cap: int = 31
+    num_paths: int = 8  # 2 (horizontal), 4 (+vertical), 8 (+diagonals)
+
+    def replace(self, **kw) -> "SGBMParams":
+        return dataclasses.replace(self, **kw)
+
+
+INVALID = lambda p: float(p.min_disparity - 1)
+
+
+# ---------------------------------------------------------------------------
+# Cost volume
+# ---------------------------------------------------------------------------
+
+
+def xsobel_clip(gray: jnp.ndarray, cap: int) -> jnp.ndarray:
+    """Horizontal Sobel derivative, clipped and shifted to [0, 2*cap].
+
+    OpenCV SGBM prefilters with an x-Sobel response clamped through a lookup
+    table before BT costs; this is the float analogue. (..., H, W) float32.
+    """
+    g = gray.astype(jnp.float32)
+    gp = jnp.pad(g, [(0, 0)] * (g.ndim - 2) + [(1, 1), (1, 1)], mode="edge")
+    h, w = g.shape[-2], g.shape[-1]
+
+    def win(dy, dx):
+        s = jax.lax.slice_in_dim(gp, dy, dy + h, axis=-2)
+        return jax.lax.slice_in_dim(s, dx, dx + w, axis=-1)
+
+    dx = (win(0, 2) - win(0, 0)) + 2.0 * (win(1, 2) - win(1, 0)) + (win(2, 2) - win(2, 0))
+    return jnp.clip(dx, -float(cap), float(cap)) + float(cap)
+
+
+def _bt_bounds(img: jnp.ndarray):
+    """Birchfield-Tomasi half-sample lower/upper envelopes along width."""
+    prev = jnp.roll(img, 1, axis=-1).at[..., 0].set(img[..., 0])
+    nxt = jnp.roll(img, -1, axis=-1).at[..., -1].set(img[..., -1])
+    mid_l = 0.5 * (img + prev)
+    mid_r = 0.5 * (img + nxt)
+    lo = jnp.minimum(jnp.minimum(mid_l, mid_r), img)
+    hi = jnp.maximum(jnp.maximum(mid_l, mid_r), img)
+    return lo, hi
+
+
+def bt_cost_volume(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    num_disparities: int,
+    min_disparity: int = 0,
+) -> jnp.ndarray:
+    """Per-pixel symmetric BT cost volume (..., H, W, D).
+
+    ``cost[..., x, d]`` compares left pixel x against right pixel
+    ``x - (min_disparity + d)``; out-of-frame matches cost BIG so WTA never
+    selects them (OpenCV invalidates that border strip).
+    """
+    l_lo, l_hi = _bt_bounds(left)
+    r_lo, r_hi = _bt_bounds(right)
+    w = left.shape[-1]
+    xs = jnp.arange(w)
+
+    slices = []
+    for d in range(num_disparities):
+        shift = d + min_disparity
+        idx = jnp.clip(xs - shift, 0, w - 1)
+        r = jnp.take(right, idx, axis=-1)
+        rlo = jnp.take(r_lo, idx, axis=-1)
+        rhi = jnp.take(r_hi, idx, axis=-1)
+        d_lr = jnp.maximum(0.0, jnp.maximum(left - rhi, rlo - left))
+        d_rl = jnp.maximum(0.0, jnp.maximum(r - l_hi, l_lo - r))
+        cost = jnp.minimum(d_lr, d_rl)
+        cost = jnp.where(xs - shift < 0, _SOBEL_CAP_BIG, cost)
+        slices.append(cost)
+    return jnp.stack(slices, axis=-1)
+
+
+def box_aggregate(cost: jnp.ndarray, block_size: int) -> jnp.ndarray:
+    """SAD-window aggregation: block_size x block_size sum over (H, W).
+
+    Windowed *sum* (not mean) so OpenCV's P1/P2 magnitudes apply unchanged.
+    """
+    if block_size <= 1:
+        return cost
+    pad = block_size // 2
+    dims = [1] * cost.ndim
+    dims[-3] = block_size  # H
+    dims[-2] = block_size  # W
+    return jax.lax.reduce_window(
+        cost,
+        0.0,
+        jax.lax.add,
+        tuple(dims),
+        (1,) * cost.ndim,
+        [(0, 0)] * (cost.ndim - 3) + [(pad, pad), (pad, pad), (0, 0)],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-global aggregation
+# ---------------------------------------------------------------------------
+
+
+def _sgm_step(l_prev: jnp.ndarray, cost: jnp.ndarray, p1: float, p2: float):
+    """One SGM recurrence step over the disparity axis (last axis)."""
+    m = jnp.min(l_prev, axis=-1, keepdims=True)
+    up = jnp.concatenate(
+        [l_prev[..., 1:], jnp.full_like(l_prev[..., :1], BIG)], axis=-1
+    )
+    dn = jnp.concatenate(
+        [jnp.full_like(l_prev[..., :1], BIG), l_prev[..., :-1]], axis=-1
+    )
+    best = jnp.minimum(jnp.minimum(l_prev, m + p2), jnp.minimum(up, dn) + p1)
+    return cost + best - m
+
+
+def _scan_paths_along(
+    cost_seq: jnp.ndarray, p1: float, p2: float, lateral_shift: int = 0
+) -> jnp.ndarray:
+    """Aggregate along the leading axis of (N, B, R, D) in both directions.
+
+    ``lateral_shift`` rolls the carry along the R axis each step, which
+    turns a row-by-row vertical scan into a diagonal path: L(y, x) then
+    depends on L(y-1, x -+ 1). Returns the sum of forward and backward
+    directional costs, shape (N, B, R, D).
+    """
+
+    def shift_carry(l_prev, s):
+        if s == 0:
+            return l_prev
+        rolled = jnp.roll(l_prev, s, axis=-2)
+        if s > 0:
+            rolled = rolled.at[..., :s, :].set(0.0)
+        else:
+            rolled = rolled.at[..., s:, :].set(0.0)
+        return rolled
+
+    def fwd(l_prev, c):
+        l_new = _sgm_step(shift_carry(l_prev, lateral_shift), c, p1, p2)
+        return l_new, l_new
+
+    def bwd(l_prev, c):
+        l_new = _sgm_step(shift_carry(l_prev, -lateral_shift), c, p1, p2)
+        return l_new, l_new
+
+    zero = jnp.zeros_like(cost_seq[0])
+    _, l_f = jax.lax.scan(fwd, zero, cost_seq)
+    _, l_b = jax.lax.scan(bwd, zero, cost_seq, reverse=True)
+    return l_f + l_b
+
+
+def sgm_aggregate(cost: jnp.ndarray, params: SGBMParams) -> jnp.ndarray:
+    """Sum of directional path costs S(p, d) over 2/4/8 paths.
+
+    ``cost`` is (B, H, W, D) float32. Horizontal paths scan over W carrying
+    (B, H, D); vertical and diagonal paths scan over H carrying (B, W, D).
+    """
+    p1, p2 = float(params.p1), float(params.p2)
+    b, h, w, d = cost.shape
+
+    # horizontal: (W, B, H, D)
+    seq_w = jnp.moveaxis(cost, 2, 0)
+    total = jnp.moveaxis(_scan_paths_along(seq_w, p1, p2), 0, 2)
+
+    if params.num_paths >= 4:
+        seq_h = jnp.moveaxis(cost, 1, 0)  # (H, B, W, D)
+        total = total + jnp.moveaxis(_scan_paths_along(seq_h, p1, p2), 0, 1)
+
+    if params.num_paths >= 8:
+        seq_h = jnp.moveaxis(cost, 1, 0)
+        diag1 = _scan_paths_along(seq_h, p1, p2, lateral_shift=1)
+        diag2 = _scan_paths_along(seq_h, p1, p2, lateral_shift=-1)
+        total = total + jnp.moveaxis(diag1 + diag2, 0, 1)
+
+    return total
+
+
+# ---------------------------------------------------------------------------
+# Winner-take-all + validation
+# ---------------------------------------------------------------------------
+
+
+def wta_disparity(agg: jnp.ndarray, params: SGBMParams) -> jnp.ndarray:
+    """Sub-pixel disparity from the aggregated volume, with validation.
+
+    Returns float32 (B, H, W); invalid pixels are ``min_disparity - 1``
+    (callers clamp <=0 to 0 per reference depth.py:374).
+    """
+    b, h, w, nd = agg.shape
+    d_int = jnp.argmin(agg, axis=-1)  # (B, H, W)
+    s_min = jnp.min(agg, axis=-1)
+
+    # quadratic sub-pixel interpolation around the minimum
+    d_m1 = jnp.clip(d_int - 1, 0, nd - 1)
+    d_p1 = jnp.clip(d_int + 1, 0, nd - 1)
+    take = lambda idx: jnp.take_along_axis(agg, idx[..., None], axis=-1)[..., 0]
+    s_m1, s_p1 = take(d_m1), take(d_p1)
+    denom = s_m1 + s_p1 - 2.0 * s_min
+    sub = jnp.where(denom > 1e-6, (s_m1 - s_p1) / (2.0 * denom + 1e-12), 0.0)
+    sub = jnp.clip(sub, -0.5, 0.5)
+    # no interpolation at the disparity range ends (one-sided neighborhoods)
+    sub = jnp.where((d_int == 0) | (d_int == nd - 1), 0.0, sub)
+    disp = d_int.astype(jnp.float32) + sub + float(params.min_disparity)
+
+    valid = s_min < BIG / 2  # no in-frame match at any disparity
+    # OpenCV leaves the entire left strip where the full disparity range
+    # cannot be evaluated invalid (verified against cv2.StereoSGBM: columns
+    # x < minDisparity + numDisparities are always invalid)
+    xs_full = jnp.arange(w)
+    valid &= (xs_full >= params.min_disparity + nd)[None, None, :]
+
+    # uniqueness ratio (OpenCV: any d with |d - d*| > 1 whose cost is within
+    # (100 + ratio)% of the minimum invalidates the pixel)
+    if params.uniqueness_ratio > 0:
+        ds = jnp.arange(nd)
+        near = jnp.abs(ds[None, None, None, :] - d_int[..., None]) <= 1
+        masked = jnp.where(near, BIG, agg)
+        second = jnp.min(masked, axis=-1)
+        valid &= second * 100.0 >= s_min * (100.0 + params.uniqueness_ratio)
+
+    # left-right consistency from the same aggregated volume:
+    # S_R(x, d) = S_L(x + d, d); check |d_L(x) - d_R(x - d_L(x))| <= maxdiff
+    if params.disp12_max_diff >= 0:
+        xs = jnp.arange(w)
+        ds = jnp.arange(nd)
+        idx = xs[:, None] + ds[None, :] + params.min_disparity  # (W, D)
+        oob = idx >= w
+        idx = jnp.clip(idx, 0, w - 1)
+        s_r = jnp.take_along_axis(
+            agg, jnp.broadcast_to(idx, (b, h, w, nd)), axis=2
+        )
+        s_r = jnp.where(oob[None, None], BIG, s_r)
+        d_right = jnp.argmin(s_r, axis=-1).astype(jnp.float32)  # (B, H, W)
+        # sample right-view disparity at x - d_L(x)
+        d_round = jnp.round(disp - params.min_disparity).astype(jnp.int32)
+        sample_x = jnp.clip(xs[None, None, :] - d_round - params.min_disparity, 0, w - 1)
+        d_r_at = jnp.take_along_axis(d_right, sample_x, axis=-1)
+        lr_ok = jnp.abs((disp - params.min_disparity) - d_r_at) <= float(
+            params.disp12_max_diff
+        )
+        valid &= lr_ok
+
+    return jnp.where(valid, disp, INVALID(params))
+
+
+# ---------------------------------------------------------------------------
+# Full matcher
+# ---------------------------------------------------------------------------
+
+
+def sgbm_disparity(
+    left_gray: jnp.ndarray,
+    right_gray: jnp.ndarray,
+    params: SGBMParams = SGBMParams(),
+    apply_speckle: bool = True,
+) -> jnp.ndarray:
+    """Full semi-global matcher: (B, H, W) grayscale pair -> float disparity.
+
+    Equivalent of ``cv2.StereoSGBM.compute(...) / 16.0`` (reference
+    depth.py:341): float sub-pixel disparities, invalid = min_disparity - 1.
+    """
+    lf = xsobel_clip(left_gray, params.prefilter_cap)
+    rf = xsobel_clip(right_gray, params.prefilter_cap)
+    cost = bt_cost_volume(lf, rf, params.num_disparities, params.min_disparity)
+    cost = box_aggregate(cost, params.block_size)
+    # keep the border-invalid strip truly invalid after windowed sums
+    cost = jnp.minimum(cost, BIG)
+    agg = sgm_aggregate(cost, params)
+    disp = wta_disparity(agg, params)
+    if apply_speckle and params.speckle_window_size > 0:
+        from video3d_tpu.ops.speckle import speckle_filter_device
+
+        disp = speckle_filter_device(
+            disp,
+            invalid=INVALID(params),
+            max_diff=float(params.speckle_range),
+            min_region=params.speckle_window_size,
+        )
+    return disp
