@@ -1,0 +1,97 @@
+"""End-to-end depth stage: SBS video -> PNG16 depth cache.
+
+Artifact-contract test in the spirit of the reference's --max-frames smoke
+runs (SURVEY.md SS4-d): synthetic SBS clip with a known constant shift
+between eyes, asserting cache layout, idempotency and coarse numeric
+correctness of the recovered disparity.
+"""
+
+import numpy as np
+
+from tests.conftest import make_test_video
+from video3d_tpu.core.cache import depth_frame_name
+from video3d_tpu.core.depthio import load_depth_png16
+from video3d_tpu.ops.stereo import SGBMParams
+from video3d_tpu.stages.depth import StereoDepthExtractor, depth_batch_pipeline
+
+
+def make_sbs_video(path, n_frames=6, eye_w=128, height=64, shift=6, fps=24.0):
+    """SBS clip whose right eye is the left shifted by ``shift`` px."""
+    import cv2
+
+    rng = np.random.default_rng(3)
+    # smooth textured pattern: sum of random low-frequency sinusoids
+    yy, xx = np.mgrid[0:height, 0 : eye_w + shift].astype(np.float64)
+    tex = np.zeros_like(xx)
+    for _ in range(8):
+        fx, fy = rng.uniform(0.05, 0.3, 2)
+        ph = rng.uniform(0, 2 * np.pi)
+        tex += np.sin(2 * np.pi * (fx * xx + fy * yy) + ph)
+    tex = ((tex - tex.min()) / (np.ptp(tex) + 1e-9) * 255).astype(np.uint8)
+
+    writer = cv2.VideoWriter(
+        str(path), cv2.VideoWriter_fourcc(*"mp4v"), fps, (eye_w * 2, height)
+    )
+    assert writer.isOpened()
+    for i in range(n_frames):
+        pat = np.roll(tex, i, axis=0)
+        # left[x] = pat[x]; right[x] = pat[x + shift] so that the match of
+        # left pixel x sits at x - shift in the right view (disparity = shift)
+        left = pat[:, :eye_w]
+        right = pat[:, shift : shift + eye_w]
+        sbs = np.concatenate([left, right], axis=1)
+        frame = np.repeat(sbs[..., None], 3, axis=-1)
+        writer.write(frame)
+    writer.release()
+
+
+def test_depth_stage_artifacts_and_values(tmp_path):
+    video = tmp_path / "sbs.mp4"
+    shift = 6
+    make_sbs_video(video, n_frames=6, shift=shift)
+
+    ext = StereoDepthExtractor(
+        work_dir=str(tmp_path / "work"),
+        batch_size=3,
+        unsqueeze_anamorphic=False,
+        apply_speckle=False,
+    )
+    cache = ext.process_video_sbs(str(video), max_frames=6)
+
+    # artifact contract: depth_<md5-16>/depth_%06d.png, all frames present
+    assert cache.name.startswith("depth_") and len(cache.name) == 6 + 16
+    files = [cache / depth_frame_name(i) for i in range(6)]
+    assert all(f.exists() for f in files)
+
+    d0 = load_depth_png16(files[0])
+    assert d0.dtype == np.uint16 and d0.shape == (64, 128)
+
+    # fixed normalization: uint16 = disp * 65535 / 64
+    disp = d0.astype(np.float64) * 64.0 / 65535.0
+    interior = disp[8:-8, 80:120]  # right of the invalid strip (x >= D)
+    med = np.median(interior)
+    assert abs(med - shift) < 2.0, f"median disparity {med} vs true {shift}"
+
+    # idempotent: second call is a cache hit (same dir, files untouched)
+    mtime = files[0].stat().st_mtime
+    cache2 = ext.process_video_sbs(str(video), max_frames=6)
+    assert cache2 == cache
+    assert files[0].stat().st_mtime == mtime
+
+
+def test_per_frame_normalization_parity_mode():
+    """normalize='per_frame' reproduces reference depth.py:399-404."""
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, size=(2, 32, 128, 3), dtype=np.uint8)
+    out = np.asarray(
+        depth_batch_pipeline(
+            frames,
+            params=SGBMParams(num_disparities=16),
+            unsqueeze=False,
+            normalize="per_frame",
+            apply_speckle=False,
+        )
+    )
+    # each frame's dynamic range spans the full uint16 scale
+    assert out.max(axis=(1, 2)).min() == 65535
+    assert out.min(axis=(1, 2)).max() == 0

@@ -1,0 +1,67 @@
+"""DPT Flax model: conversion fidelity vs torch DPTForDepthEstimation.
+
+Checkpoints cannot be downloaded here, so parity is checked against a
+tiny randomly-initialized HF torch model with the same architecture
+(SURVEY.md SS7-iv: weight-conversion fidelity is a named hard part).
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from video3d_tpu.models.dpt import (  # noqa: E402
+    DPTConfig,
+    DPTDepthModel,
+    convert_torch_state_dict,
+    make_guidance_fn,
+)
+
+
+def _tiny_pair(seed=0):
+    cfg = DPTConfig.tiny()
+    hf_cfg = transformers.DPTConfig(
+        image_size=cfg.image_size,
+        patch_size=cfg.patch_size,
+        num_channels=3,
+        hidden_size=cfg.hidden_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        intermediate_size=cfg.intermediate_size,
+        backbone_out_indices=list(cfg.backbone_out_indices),
+        neck_hidden_sizes=list(cfg.neck_hidden_sizes),
+        readout_type=cfg.readout_type,
+        fusion_hidden_size=cfg.fusion_hidden_size,
+        is_hybrid=False,
+    )
+    torch.manual_seed(seed)
+    tmodel = transformers.DPTForDepthEstimation(hf_cfg).eval()
+    params = convert_torch_state_dict(tmodel.state_dict(), cfg)
+    return cfg, tmodel, params
+
+
+def test_dpt_forward_matches_torch():
+    cfg, tmodel, params = _tiny_pair()
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, cfg.image_size, cfg.image_size, 3)).astype(np.float32)
+
+    with torch.no_grad():
+        ref = tmodel(
+            pixel_values=torch.from_numpy(x.transpose(0, 3, 1, 2))
+        ).predicted_depth.numpy()
+
+    out = np.asarray(DPTDepthModel(cfg).apply(params, x))
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, rtol=1e-3, atol=2e-4)
+
+
+def test_guidance_fn_shapes():
+    cfg, _, params = _tiny_pair()
+    fn = make_guidance_fn(DPTDepthModel(cfg), params, infer_size=cfg.image_size)
+    frames = np.random.default_rng(2).uniform(
+        0, 255, size=(2, 48, 96, 3)
+    ).astype(np.float32)
+    depth = np.asarray(fn(frames))
+    assert depth.shape == (2, 48, 96)
+    assert np.isfinite(depth).all()

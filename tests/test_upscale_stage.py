@@ -1,0 +1,93 @@
+"""Guided-filter upscale op + upscale/encode stage.
+
+Kernel-level: guided filter must transfer guide edges into the upsampled
+depth (the behavior the reference README promises, SURVEY.md SS2.4-3).
+Stage-level: artifact contract of upscale.py:75-123 (output naming,
+existing-output short-circuit, 4K-source geometry/fps).
+"""
+
+import numpy as np
+
+from tests.conftest import make_test_video
+from video3d_tpu.core import get_video_info
+from video3d_tpu.core.cache import depth_frame_name
+from video3d_tpu.core.depthio import save_depth_png16
+from video3d_tpu.ops.guided import box_filter, guided_filter, guided_upsample
+from video3d_tpu.stages.upscale import DepthUpscaler
+
+
+def test_box_filter_matches_numpy():
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(1, 16, 20)).astype(np.float32)
+    out = np.asarray(box_filter(x, radius=2))
+    # brute-force reference with border clipping
+    ref = np.zeros_like(x)
+    for i in range(16):
+        for j in range(20):
+            win = x[0, max(i - 2, 0) : i + 3, max(j - 2, 0) : j + 3]
+            ref[0, i, j] = win.mean()
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_guided_filter_is_edge_preserving():
+    # guide: sharp step edge; src: noisy version of the same step
+    h, w = 32, 64
+    guide = np.zeros((1, h, w), np.float32)
+    guide[:, :, w // 2 :] = 1.0
+    rng = np.random.default_rng(1)
+    src = guide + rng.normal(0, 0.1, guide.shape).astype(np.float32)
+    out = np.asarray(guided_filter(guide, src, radius=4, eps=1e-4))
+    # noise suppressed away from the edge...
+    flat = out[0, :, 8 : w // 2 - 8]
+    assert flat.std() < src[0, :, 8 : w // 2 - 8].std() * 0.5
+    # ...while the step survives (sharp transition preserved)
+    step = out[0, :, w // 2 + 4].mean() - out[0, :, w // 2 - 4].mean()
+    assert step > 0.8
+
+
+def test_guided_upsample_follows_guide_edges():
+    # low-res depth has a blurry edge; the 4K guide has it sharp
+    h, w, H, W = 16, 32, 64, 128
+    depth = np.zeros((1, h, w), np.uint16)
+    depth[:, :, w // 2 :] = 40000
+    guide = np.zeros((1, H, W, 3), np.float32)
+    guide[:, :, W // 2 :, :] = 255.0
+    up = np.asarray(guided_upsample(depth, guide, H, W, radius=2, eps=1e-4))
+    assert up.shape == (1, H, W)
+    # edge localized at the guide's position within a couple of pixels
+    mid_row = up[0, H // 2]
+    crossings = np.where(np.diff(mid_row > 20000))[0]
+    assert len(crossings) >= 1
+    assert abs(int(crossings[0]) - W // 2) <= 3
+
+
+def test_upscale_stage_artifacts(tmp_path):
+    # depth sequence at 32x64
+    depth_dir = tmp_path / "depth_cafebabe00000000"
+    depth_dir.mkdir()
+    rng = np.random.default_rng(2)
+    for i in range(5):
+        d = (rng.uniform(0, 65535, size=(32, 64))).astype(np.uint16)
+        save_depth_png16(depth_dir / depth_frame_name(i), d)
+    # "4K" source video at 64x128
+    video_4k = tmp_path / "movie_4k.mp4"
+    make_test_video(video_4k, n_frames=5, width=128, height=64, fps=24.0)
+
+    up = DepthUpscaler(work_dir=str(tmp_path / "out"), method="guided",
+                       batch_size=2)
+    out = up.process_depth_upscaling(str(depth_dir), str(video_4k))
+    assert out.name == f"depth_4k_{depth_dir.name}.mp4"
+    info = get_video_info(str(out))
+    assert (info["width"], info["height"]) == (128, 64)
+    assert info["frames"] == 5
+
+    # existing-output short-circuit (upscale.py:105-107)
+    mtime = out.stat().st_mtime
+    out2 = up.process_depth_upscaling(str(depth_dir), str(video_4k))
+    assert out2 == out and out.stat().st_mtime == mtime
+
+    # plain parity mode also works
+    up2 = DepthUpscaler(work_dir=str(tmp_path / "out2"), method="scale",
+                        batch_size=2)
+    out3 = up2.process_depth_upscaling(str(depth_dir), str(video_4k))
+    assert get_video_info(str(out3))["frames"] == 5

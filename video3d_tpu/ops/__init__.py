@@ -11,9 +11,19 @@ from video3d_tpu.ops.correlate import (
     find_audio_offset,
     znormalize,
 )
+from video3d_tpu.ops.guided import (
+    box_filter,
+    guided_filter,
+    guided_upsample,
+    plain_upsample,
+)
 
 __all__ = [
     "cross_correlate_full",
     "find_audio_offset",
     "znormalize",
+    "box_filter",
+    "guided_filter",
+    "guided_upsample",
+    "plain_upsample",
 ]

@@ -1,0 +1,113 @@
+"""Guided-filter depth upscaling (He et al.), TPU-native.
+
+The reference README promises guided filtering for the 1080p->4K depth
+upscale but ships a plain ffmpeg ``scale`` (readme.md:98,119 vs
+upscale.py:50; SURVEY.md SS2.4-3). This module implements the real thing as
+batched jnp: the *fast guided filter* formulation -- linear coefficients
+(a, b) solved at depth resolution against a downsampled guide, bilinearly
+upsampled, then applied against the full-resolution 4K RGB guide:
+
+    q = a_up * I_4k + b_up
+
+All box filters are separable ``lax.reduce_window`` sums; everything is
+static-shaped and fuses under one jit. A plain-resize parity mode matching
+the reference's ffmpeg ``scale`` behavior lives in the upscale stage.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from video3d_tpu.ops.image import resize2d, rgb_to_gray
+
+
+def box_filter(x: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Mean over a (2r+1)^2 window of the last two axes, edge-normalized.
+
+    Uses windowed sums divided by the true (clipped-at-border) window area,
+    matching the standard guided-filter normalization.
+    """
+    k = 2 * radius + 1
+    dims = [1] * x.ndim
+    dims[-2] = k
+    dims[-1] = k
+    pads = [(0, 0)] * (x.ndim - 2) + [(radius, radius), (radius, radius)]
+    summed = jax.lax.reduce_window(
+        x.astype(jnp.float32), 0.0, jax.lax.add, tuple(dims), (1,) * x.ndim, pads
+    )
+    ones = jnp.ones(x.shape[-2:], jnp.float32)
+    area = jax.lax.reduce_window(
+        ones, 0.0, jax.lax.add, (k, k), (1, 1), [(radius, radius)] * 2
+    )
+    return summed / area
+
+
+def guided_filter(
+    guide: jnp.ndarray, src: jnp.ndarray, radius: int = 8, eps: float = 1e-3
+) -> jnp.ndarray:
+    """Classic gray-guide guided filter at a single resolution.
+
+    ``guide`` and ``src`` are (..., H, W) float32 in [0, 1]. Returns the
+    filtered ``src`` with edges transferred from ``guide``.
+    """
+    mean_i = box_filter(guide, radius)
+    mean_p = box_filter(src, radius)
+    corr_ii = box_filter(guide * guide, radius)
+    corr_ip = box_filter(guide * src, radius)
+    var_i = corr_ii - mean_i * mean_i
+    cov_ip = corr_ip - mean_i * mean_p
+    a = cov_ip / (var_i + eps)
+    b = mean_p - a * mean_i
+    mean_a = box_filter(a, radius)
+    mean_b = box_filter(b, radius)
+    return mean_a * guide + mean_b
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w", "radius", "eps"))
+def guided_upsample(
+    depth: jnp.ndarray,
+    guide_rgb: jnp.ndarray,
+    out_h: int,
+    out_w: int,
+    radius: int = 8,
+    eps: float = 1e-3,
+) -> jnp.ndarray:
+    """Fast guided upsample: depth (B, h, w) + 4K guide (B, out_h, out_w, 3).
+
+    Solves (a, b) at depth resolution against the downsampled guide, then
+    applies bilinearly-upsampled coefficients against the full-res guide.
+    Depth values are preserved in scale (the filter is applied to the
+    normalized field and rescaled back).
+    """
+    h, w = int(depth.shape[-2]), int(depth.shape[-1])
+    guide_full = rgb_to_gray(guide_rgb) / 255.0  # (B, out_h, out_w)
+    guide_lo = resize2d(guide_full, h, w, method="bilinear")
+
+    p = depth.astype(jnp.float32) / 65535.0
+    mean_i = box_filter(guide_lo, radius)
+    mean_p = box_filter(p, radius)
+    corr_ii = box_filter(guide_lo * guide_lo, radius)
+    corr_ip = box_filter(guide_lo * p, radius)
+    var_i = corr_ii - mean_i * mean_i
+    cov_ip = corr_ip - mean_i * mean_p
+    a = cov_ip / (var_i + eps)
+    b = mean_p - a * mean_i
+    mean_a = box_filter(a, radius)
+    mean_b = box_filter(b, radius)
+
+    a_up = resize2d(mean_a, out_h, out_w, method="bilinear")
+    b_up = resize2d(mean_b, out_h, out_w, method="bilinear")
+    q = a_up * guide_full + b_up
+    return jnp.clip(q * 65535.0, 0.0, 65535.0)
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w", "method"))
+def plain_upsample(
+    depth: jnp.ndarray, out_h: int, out_w: int, method: str = "bilinear"
+) -> jnp.ndarray:
+    """Parity mode for the reference's ffmpeg ``scale`` (upscale.py:50)."""
+    out = resize2d(depth.astype(jnp.float32), out_h, out_w, method=method)
+    return jnp.clip(out, 0.0, 65535.0)

@@ -11,9 +11,14 @@ from video3d_tpu.stages.align import (
     apply_offset_to_pipeline,
     load_alignment_data,
 )
+from video3d_tpu.stages.depth import StereoDepthExtractor, depth_batch_pipeline
+from video3d_tpu.stages.upscale import DepthUpscaler
 
 __all__ = [
     "VideoAligner",
     "apply_offset_to_pipeline",
     "load_alignment_data",
+    "StereoDepthExtractor",
+    "depth_batch_pipeline",
+    "DepthUpscaler",
 ]

@@ -1,0 +1,263 @@
+"""Hybrid stereo depth extraction stage (reference: depth.py:20-476).
+
+One canonically named extractor with pluggable guidance backends
+(``guidance='none'|'dpt'``), resolving the reference's broken
+``IGEVStereoDepthExtractor`` import (SURVEY.md SS2.4-1/4).
+
+TPU-first design: the whole per-batch pipeline -- SBS split, Lanczos
+unsqueeze, grayscale, semi-global matching, optional neural-guidance blend,
+normalization to uint16 -- is ONE jitted program over a static-shaped frame
+batch. Host decode (VideoReader's background thread) overlaps device
+compute; PNG16 encode runs on a host thread pool (DepthMapWriter). Contrast
+the reference's fully sequential per-frame Python loop (depth.py:329-376).
+
+Numeric contract reproduced (SURVEY.md SS2.5):
+* SBS split with even-width check, 2x Lanczos-4 unsqueeze on by default
+  (depth.py:254, :263-266, :31);
+* SGBM params minDisparity=0, numDisparities=64, blockSize=5, P1=600,
+  P2=2400, disp12MaxDiff=1, uniquenessRatio=10, speckle 100/32
+  (depth.py:315-325); disparity is float sub-pixel like cv2's /16.0;
+* hybrid blend 0.7*stereo + 0.3*mono with mono scaled to [0, 64]
+  (depth.py:358-363); clamp <=0 -> 0 (depth.py:374);
+* uint16 PNG output; default normalization is FIXED-RANGE
+  (0..numDisparities) for inter-frame depth-scale consistency, with
+  ``normalize='per_frame'`` reproducing the reference's per-frame min-max
+  (depth.py:399-404; deviation rationale SURVEY.md SS2.4-8);
+* md5 cache key (video, start, count, model, unsqueeze) and completeness
+  check (depth.py:116-140).
+"""
+
+from __future__ import annotations
+
+import time
+from functools import partial
+from pathlib import Path
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from video3d_tpu.core import DepthMapWriter, VideoReader, get_video_info
+from video3d_tpu.core.cache import (
+    create_work_directory,
+    depth_cache_dir,
+    is_depth_cached,
+)
+from video3d_tpu.ops.image import rgb_to_gray, split_sbs, unsqueeze_width
+from video3d_tpu.ops.stereo import SGBMParams, sgbm_disparity
+
+# Guidance blend weights and mono scale (reference depth.py:358-363).
+STEREO_WEIGHT = 0.7
+MONO_WEIGHT = 0.3
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "params",
+        "unsqueeze",
+        "normalize",
+        "apply_speckle",
+        "guidance_fn",
+    ),
+)
+def depth_batch_pipeline(
+    frames: jnp.ndarray,
+    params: SGBMParams = SGBMParams(),
+    unsqueeze: bool = True,
+    normalize: str = "fixed",
+    apply_speckle: bool = True,
+    guidance_fn: Optional[Callable] = None,
+) -> jnp.ndarray:
+    """uint8 SBS RGB batch (B, H, W, 3) -> uint16 depth batch (B, H, W').
+
+    W' is W (unsqueezed anamorphic) or W//2. Entirely on-device; one XLA
+    program. ``guidance_fn``, when given, maps the float32 RGB left-eye
+    batch (B, H, W', 3) in [0, 255] to relative depth (B, H, W') and is
+    blended 0.7/0.3 after scaling to [0, num_disparities].
+    """
+    left, right = split_sbs(frames)  # (B, H, W/2, 3) uint8
+    left = left.astype(jnp.float32)
+    right = right.astype(jnp.float32)
+    if unsqueeze:
+        # resample each RGB channel's width: (B, H, W/2, 3) -> (B, H, W, 3)
+        left = jnp.moveaxis(
+            unsqueeze_width(jnp.moveaxis(left, -1, 1)), 1, -1
+        )
+        right = jnp.moveaxis(
+            unsqueeze_width(jnp.moveaxis(right, -1, 1)), 1, -1
+        )
+    gl = rgb_to_gray(left)
+    gr = rgb_to_gray(right)
+    disp = sgbm_disparity(gl, gr, params, apply_speckle=apply_speckle)
+
+    if guidance_fn is not None:
+        mono = guidance_fn(left)  # (B, H, W') relative depth
+        # normalize mono to [0, num_disparities] per frame (depth.py:358-360)
+        mmin = jnp.min(mono, axis=(-2, -1), keepdims=True)
+        mmax = jnp.max(mono, axis=(-2, -1), keepdims=True)
+        mono = (mono - mmin) / jnp.maximum(mmax - mmin, 1e-6)
+        mono = mono * float(params.num_disparities)
+        disp = STEREO_WEIGHT * disp + MONO_WEIGHT * mono
+
+    disp = jnp.maximum(disp, 0.0)  # clamp invalid/negative (depth.py:374)
+
+    if normalize == "per_frame":
+        # reference behavior: per-frame min-max to full uint16 (depth.py:399-404)
+        dmin = jnp.min(disp, axis=(-2, -1), keepdims=True)
+        dmax = jnp.max(disp, axis=(-2, -1), keepdims=True)
+        scaled = (disp - dmin) / jnp.maximum(dmax - dmin, 1e-6) * 65535.0
+    else:
+        # fixed disparity range keeps inter-frame scale consistent
+        scaled = disp * (65535.0 / float(params.num_disparities))
+    return jnp.clip(scaled, 0.0, 65535.0).astype(jnp.uint16)
+
+
+class StereoDepthExtractor:
+    """Stereo depth from SBS video with optional neural guidance.
+
+    The intended surface of the reference's ``HybridStereoDepthExtractor``
+    (depth.py:20-58) minus the CUDA hard-requirement: TPU/CPU chosen by
+    JAX automatically; guidance degrades to stereo-only on any load
+    failure, mirroring depth.py:107-114.
+    """
+
+    def __init__(
+        self,
+        work_dir: str = "temp_depth",
+        batch_size: Optional[int] = None,
+        guidance: str = "none",
+        model_checkpoint: str = "Intel/dpt-large",
+        unsqueeze_anamorphic: bool = True,
+        normalize: str = "fixed",
+        apply_speckle: bool = True,
+        params: SGBMParams = SGBMParams(),
+    ):
+        self.work_dir = create_work_directory(work_dir)
+        self.batch_size = batch_size
+        self.guidance = guidance
+        self.model_checkpoint = model_checkpoint if guidance != "none" else "stereo_only"
+        self.unsqueeze_anamorphic = bool(unsqueeze_anamorphic)
+        self.normalize = normalize
+        self.apply_speckle = bool(apply_speckle)
+        self.params = params
+        self._guidance_fn: Optional[Callable] = None
+        self._guidance_loaded = False
+
+    # -- guidance backends -------------------------------------------------
+
+    def load_model(self) -> None:
+        """Resolve the guidance backend once (reference depth.py:60-114).
+
+        Failure at any point degrades to stereo-only with a warning, the
+        same soft-fallback contract as the reference.
+        """
+        if self._guidance_loaded:
+            return
+        self._guidance_loaded = True
+        if self.guidance in ("none", "stereo_only"):
+            return
+        try:
+            if self.guidance == "dpt":
+                from video3d_tpu.models.dpt import load_dpt_guidance
+
+                self._guidance_fn = load_dpt_guidance(self.model_checkpoint)
+            else:
+                raise ValueError(f"Unknown guidance backend: {self.guidance}")
+            print(f"Guidance model loaded: {self.guidance}")
+        except Exception as e:  # degrade like reference depth.py:107-114
+            print(f"Warning: guidance load failed ({e}); using stereo only")
+            self.guidance = "none"
+            self.model_checkpoint = "stereo_only"
+            self._guidance_fn = None
+
+    def _auto_batch_size(self, height: int, width: int) -> int:
+        """Batch size from device memory (reference autotunes from VRAM,
+        depth.py:86-102). The SGM cost volume dominates: per frame
+        ~4 * H * W' * D bytes plus ~6x transient copies under scan."""
+        try:
+            dev = jax.devices()[0]
+            stats = dev.memory_stats() or {}
+            limit = stats.get("bytes_limit", 16 * 2**30)
+        except Exception:
+            limit = 16 * 2**30
+        w_eye = width // 2 * (2 if self.unsqueeze_anamorphic else 1)
+        per_frame = 4 * height * w_eye * self.params.num_disparities * 7
+        b = max(1, int(limit * 0.5 / per_frame))
+        return min(b, 8)
+
+    # -- main entry ---------------------------------------------------------
+
+    def process_video_sbs(
+        self,
+        video_path: str,
+        start_frame: int = 0,
+        max_frames: Optional[int] = None,
+        force: bool = False,
+    ) -> Path:
+        """Extract depth maps for a frame range; returns the cache dir.
+
+        Idempotent: on a complete cache hit returns immediately unless
+        ``force`` (reference depth.py:433-437).
+        """
+        info = get_video_info(str(video_path))
+        if info is None:
+            raise RuntimeError(f"Cannot probe video: {video_path}")
+        n_total = info["frames"] - start_frame if info["frames"] else None
+        n_frames = (
+            min(n_total, max_frames)
+            if (n_total is not None and max_frames is not None)
+            else (max_frames if max_frames is not None else n_total)
+        )
+
+        cache = depth_cache_dir(
+            self.work_dir,
+            str(video_path),
+            start_frame,
+            n_frames if n_frames is not None else "all",
+            self.model_checkpoint,
+            self.unsqueeze_anamorphic,
+        )
+        if not force and n_frames is not None and is_depth_cached(cache, n_frames):
+            print(f"Using cached depth maps: {cache}")
+            return cache
+
+        self.load_model()
+        batch = self.batch_size or self._auto_batch_size(
+            info["height"], info["width"]
+        )
+        print(
+            f"Extracting depth: {n_frames if n_frames is not None else '?'} frames, "
+            f"batch={batch}, guidance={self.guidance}"
+        )
+
+        reader = VideoReader(
+            str(video_path),
+            start_frame=start_frame,
+            max_frames=n_frames,
+            batch_size=batch,
+        )
+        done = 0
+        t0 = time.time()
+        with DepthMapWriter(cache) as writer:
+            for frames, valid in reader:
+                depth = depth_batch_pipeline(
+                    jnp.asarray(frames),
+                    params=self.params,
+                    unsqueeze=self.unsqueeze_anamorphic,
+                    normalize=self.normalize,
+                    apply_speckle=self.apply_speckle,
+                    guidance_fn=self._guidance_fn,
+                )
+                writer.put(np.asarray(depth), done, valid)
+                done += valid
+                if done % 100 < valid:
+                    dt = time.time() - t0
+                    print(f"  {done} frames ({done / max(dt, 1e-9):.1f} fps)")
+        dt = time.time() - t0
+        print(
+            f"Depth extraction done: {done} frames in {dt:.1f}s "
+            f"({done / max(dt, 1e-9):.1f} fps) -> {cache}"
+        )
+        return cache

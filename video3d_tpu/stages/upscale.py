@@ -1,0 +1,152 @@
+"""Depth upscaling + encode stage (reference: upscale.py:12-123).
+
+Reads the depth PNG16 sequence, upscales to the 4K source's resolution and
+encodes H.264 at its fps. Two methods:
+
+* ``method='guided'`` (default) -- edge-preserving guided-filter upscale on
+  device, guided by the 4K RGB frames (the behavior the reference README
+  promises but never shipped, SURVEY.md SS2.4-3);
+* ``method='scale'`` -- plain resize parity with the reference's ffmpeg
+  ``scale`` path (upscale.py:50).
+
+Encode contract matches upscale.py:47-63: h264, crf=18, preset=medium,
+yuv420p, fps from the 4K source; output ``depth_4k_<dirname>.mp4``
+(upscale.py:99-100); existing output short-circuits (upscale.py:105-107).
+Depth frames are 16-bit internally; the encoded video carries the top 8
+bits (the reference's PNG->yuv420p conversion likewise quantizes to 8).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from video3d_tpu.core import (
+    VideoReader,
+    VideoWriter,
+    get_video_info,
+    list_depth_frames,
+    load_depth_png16,
+)
+from video3d_tpu.ops.guided import guided_upsample, plain_upsample
+
+
+class DepthUpscaler:
+    """Upscale a depth-map sequence to 4K and encode (upscale.py:12-123)."""
+
+    def __init__(
+        self,
+        work_dir: str = "temp_upscale",
+        use_nvenc: bool = False,  # accepted for CLI parity; selects libx264
+        method: str = "guided",
+        batch_size: int = 4,
+        radius: int = 8,
+        eps: float = 1e-3,
+    ):
+        self.work_dir = Path(work_dir)
+        self.work_dir.mkdir(parents=True, exist_ok=True)
+        self.use_nvenc = use_nvenc
+        self.method = method
+        self.batch_size = int(batch_size)
+        self.radius = int(radius)
+        self.eps = float(eps)
+
+    def process_depth_upscaling(
+        self,
+        depth_dir: str,
+        video_4k_path: str,
+        output_path: Optional[str] = None,
+        force: bool = False,
+        max_frames: Optional[int] = None,
+    ) -> Path:
+        """Upscale ``depth_dir``'s PNG sequence to the 4K video's geometry.
+
+        Returns the encoded video path. Skips work if the output already
+        exists (upscale.py:105-107) unless ``force``.
+        """
+        depth_dir = Path(depth_dir)
+        frames = list_depth_frames(depth_dir)
+        if max_frames is not None:
+            frames = frames[:max_frames]
+        if not frames:
+            raise RuntimeError(f"No depth maps found in {depth_dir}")
+
+        info = get_video_info(str(video_4k_path))
+        if info is None:
+            raise RuntimeError(f"Cannot probe 4K video: {video_4k_path}")
+        out_w, out_h, fps = info["width"], info["height"], info["fps"]
+
+        if output_path is None:
+            output_path = self.work_dir / f"depth_4k_{depth_dir.name}.mp4"
+        output_path = Path(output_path)
+        if output_path.exists() and not force:
+            print(f"Output already exists: {output_path}")
+            return output_path
+
+        print(
+            f"Upscaling {len(frames)} depth maps -> {out_w}x{out_h} "
+            f"@ {fps:.3f} fps ({self.method})"
+        )
+        guide_reader = None
+        if self.method == "guided":
+            guide_reader = iter(
+                VideoReader(
+                    str(video_4k_path),
+                    max_frames=len(frames),
+                    batch_size=self.batch_size,
+                )
+            )
+
+        t0 = time.time()
+        n_done = 0
+        with VideoWriter(
+            str(output_path), out_w, out_h, fps, use_nvenc=self.use_nvenc
+        ) as writer:
+            for i in range(0, len(frames), self.batch_size):
+                chunk = frames[i : i + self.batch_size]
+                depth = np.stack([load_depth_png16(p) for p in chunk])
+                # pad the tail so jit sees one static batch shape
+                valid = len(chunk)
+                if valid < self.batch_size:
+                    pad = np.zeros(
+                        (self.batch_size - valid,) + depth.shape[1:], depth.dtype
+                    )
+                    depth = np.concatenate([depth, pad])
+
+                if self.method == "guided":
+                    try:
+                        guide, g_valid = next(guide_reader)
+                    except StopIteration:
+                        guide, g_valid = None, 0
+                    if guide is not None and g_valid >= valid:
+                        up = guided_upsample(
+                            jnp.asarray(depth),
+                            jnp.asarray(guide),
+                            out_h,
+                            out_w,
+                            radius=self.radius,
+                            eps=self.eps,
+                        )
+                    else:  # guide ran dry: degrade to plain for the tail
+                        up = plain_upsample(jnp.asarray(depth), out_h, out_w)
+                else:
+                    up = plain_upsample(jnp.asarray(depth), out_h, out_w)
+
+                gray8 = (np.asarray(up) / 257.0).astype(np.uint8)
+                for j in range(valid):
+                    writer.write(gray8[j])
+                n_done += valid
+                if n_done % 100 < valid:
+                    dt = time.time() - t0
+                    print(f"  {n_done} frames ({n_done / max(dt, 1e-9):.1f} fps)")
+
+        dt = time.time() - t0
+        print(
+            f"Upscale done: {n_done} frames in {dt:.1f}s "
+            f"({n_done / max(dt, 1e-9):.1f} fps) -> {output_path}"
+        )
+        return output_path
