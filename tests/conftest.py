@@ -7,12 +7,21 @@ jax is imported anywhere.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard override: the host env pins JAX_PLATFORMS to the real TPU tunnel
+# (axon) and its sitecustomize imports jax at interpreter boot, so env
+# vars set here are too late -- force the platform through jax.config
+# (backends are still uninitialized when conftest runs).
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu"
 
 import numpy as np
 import pytest

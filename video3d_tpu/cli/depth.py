@@ -1,0 +1,80 @@
+"""CLI: stereo depth extraction (reference: depth.py:479-538).
+
+Flag parity: ``--stereo-only``/``--no-neural`` select guidance='none'
+(depth.py:507), ``--no-unsqueeze`` disables the anamorphic restore
+(depth.py:509), ``--max-frames``/``--start-frame`` window the run,
+``--force`` busts the cache. Additions: ``--guidance`` picks the backend
+explicitly (resolving SURVEY.md SS2.4-1/4) and ``--per-frame-normalize``
+opts into the reference's per-frame min-max (SS2.4-8).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from video3d_tpu.stages.depth import StereoDepthExtractor
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="video-3d-depth",
+        description="Extract depth maps from a side-by-side 3D video",
+    )
+    p.add_argument("video", help="SBS stereoscopic video")
+    p.add_argument("--work-dir", default="temp_depth")
+    p.add_argument("--start-frame", type=int, default=0)
+    p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--batch-size", type=int, default=None,
+                   help="Frames per device batch (auto from memory if unset)")
+    p.add_argument("--guidance", default=None,
+                   choices=["none", "dpt"],
+                   help="Neural guidance backend (default: dpt unless "
+                   "--stereo-only/--no-neural)")
+    p.add_argument("--stereo-only", action="store_true",
+                   help="Disable neural guidance (depth.py:507)")
+    p.add_argument("--no-neural", action="store_true",
+                   help="Alias of --stereo-only (depth.py:507)")
+    p.add_argument("--model", default="Intel/dpt-large",
+                   help="Guidance checkpoint (depth.py:26)")
+    p.add_argument("--no-unsqueeze", action="store_true",
+                   help="Skip the 2x anamorphic unsqueeze (depth.py:509)")
+    p.add_argument("--per-frame-normalize", action="store_true",
+                   help="Reference parity: per-frame min-max normalization "
+                   "(depth.py:399-404)")
+    p.add_argument("--no-speckle", action="store_true",
+                   help="Skip speckle filtering")
+    p.add_argument("--force", action="store_true",
+                   help="Recompute even if cached (depth.py:435-437)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.guidance is not None:
+        guidance = args.guidance
+    elif args.stereo_only or args.no_neural:
+        guidance = "none"
+    else:
+        guidance = "dpt"
+    extractor = StereoDepthExtractor(
+        work_dir=args.work_dir,
+        batch_size=args.batch_size,
+        guidance=guidance,
+        model_checkpoint=args.model,
+        unsqueeze_anamorphic=not args.no_unsqueeze,
+        normalize="per_frame" if args.per_frame_normalize else "fixed",
+        apply_speckle=not args.no_speckle,
+    )
+    cache = extractor.process_video_sbs(
+        args.video,
+        start_frame=args.start_frame,
+        max_frames=args.max_frames,
+        force=args.force,
+    )
+    print(f"Depth maps: {cache}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,56 @@
+"""CLI: full pipeline orchestrator (reference: run_pipeline.py:132-171)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from video3d_tpu.stages.pipeline import run_pipeline
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="video-3d-pipeline",
+        description="Align -> extract depth -> upscale, one command",
+    )
+    p.add_argument("sbs_video", help="1080p side-by-side 3D video")
+    p.add_argument("video_4k", help="4K 2D video of the same content")
+    p.add_argument("--work-dir", default="temp_pipeline")
+    p.add_argument("--skip-alignment", action="store_true")
+    p.add_argument("--skip-depth", action="store_true")
+    p.add_argument("--skip-upscale", action="store_true")
+    p.add_argument("--max-frames", type=int, default=None,
+                   help="Process only the first N frames (run_pipeline.py:139)")
+    p.add_argument("--force", action="store_true",
+                   help="Recompute cached artifacts")
+    p.add_argument("--guidance", choices=["none", "dpt"], default="none",
+                   help="Neural guidance backend for the depth stage")
+    p.add_argument("--upscale-method", choices=["guided", "scale"],
+                   default="guided")
+    p.add_argument("--batch-size", type=int, default=None)
+    p.add_argument("--min-correlation", type=float, default=0.6,
+                   help="Stop after alignment below this (align.py:172)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    result = run_pipeline(
+        args.sbs_video,
+        args.video_4k,
+        work_dir=args.work_dir,
+        skip_alignment=args.skip_alignment,
+        skip_depth=args.skip_depth,
+        skip_upscale=args.skip_upscale,
+        max_frames=args.max_frames,
+        force=args.force,
+        guidance=args.guidance,
+        upscale_method=args.upscale_method,
+        batch_size=args.batch_size,
+        min_correlation=args.min_correlation,
+    )
+    return 1 if result.get("stopped") else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

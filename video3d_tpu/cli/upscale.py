@@ -1,0 +1,63 @@
+"""CLI: depth upscale + encode (reference: upscale.py:126-158).
+
+``--method guided`` (default) is the edge-preserving upscale the reference
+README promises; ``--method scale`` is plain-resize parity with its
+shipped ffmpeg path (SURVEY.md SS2.4-3). ``--use-nvenc`` is accepted for
+flag parity and maps to the software encoder.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from video3d_tpu.stages.upscale import DepthUpscaler
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="video-3d-upscale",
+        description="Upscale a depth-map sequence to a 4K source's geometry "
+        "and encode",
+    )
+    p.add_argument("depth_dir", help="Directory of depth_*.png maps")
+    p.add_argument("video_4k", help="4K source (target geometry/fps + guide)")
+    p.add_argument("--work-dir", default="temp_upscale")
+    p.add_argument("--output", default=None,
+                   help="Output path (default: depth_4k_<dirname>.mp4)")
+    p.add_argument("--method", choices=["guided", "scale"], default="guided")
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--radius", type=int, default=8,
+                   help="Guided-filter window radius")
+    p.add_argument("--eps", type=float, default=1e-3,
+                   help="Guided-filter regularization")
+    p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--use-nvenc", action="store_true",
+                   help="Accepted for parity (upscale.py:15); software encode")
+    p.add_argument("--force", action="store_true")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    upscaler = DepthUpscaler(
+        work_dir=args.work_dir,
+        use_nvenc=args.use_nvenc,
+        method=args.method,
+        batch_size=args.batch_size,
+        radius=args.radius,
+        eps=args.eps,
+    )
+    out = upscaler.process_depth_upscaling(
+        args.depth_dir,
+        args.video_4k,
+        output_path=args.output,
+        force=args.force,
+        max_frames=args.max_frames,
+    )
+    print(f"Depth video: {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

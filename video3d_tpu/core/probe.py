@@ -90,6 +90,14 @@ def get_video_info(video_path: str) -> Optional[Dict]:
     if not path.exists():
         print(f"Error getting video info: file not found: {video_path}")
         return None
+    if path.suffix.lower() == ".wav":
+        # audio-only input (ffmpeg-less alignment path): no video stream
+        import wave
+
+        with wave.open(str(path), "rb") as w:
+            duration = w.getnframes() / float(w.getframerate())
+        return {"width": 0, "height": 0, "fps": 0.0, "duration": duration,
+                "frames": 0}
     info = _probe_ffprobe(video_path)
     if info is None:
         info = _probe_opencv(video_path)

@@ -6,6 +6,7 @@ batched over frames where applicable. Pallas TPU kernels live in
 CPU parity testing (SURVEY.md SS7-3).
 """
 
+from video3d_tpu import runtime  # noqa: F401  (persistent compile cache)
 from video3d_tpu.ops.correlate import (
     cross_correlate_full,
     find_audio_offset,

@@ -269,22 +269,44 @@ def wta_disparity(agg: jnp.ndarray, params: SGBMParams) -> jnp.ndarray:
         valid &= second * 100.0 >= s_min * (100.0 + params.uniqueness_ratio)
 
     # left-right consistency from the same aggregated volume:
-    # S_R(x, d) = S_L(x + d, d); check |d_L(x) - d_R(x - d_L(x))| <= maxdiff
+    # S_R(x, d) = S_L(x + d, d); check |d_L(x) - d_R(x - d_L(x))| <= maxdiff.
+    # Gather-free formulation: every indexing by disparity is expressed as
+    # 64 static W-shifts (XLA slices), which vectorize on TPU, instead of
+    # take_along_axis along a non-minor axis (measured 2.4 s/frame at
+    # 1080p on v5e -- the original pipeline hot spot).
     if params.disp12_max_diff >= 0:
-        xs = jnp.arange(w)
-        ds = jnp.arange(nd)
-        idx = xs[:, None] + ds[None, :] + params.min_disparity  # (W, D)
-        oob = idx >= w
-        idx = jnp.clip(idx, 0, w - 1)
-        s_r = jnp.take_along_axis(
-            agg, jnp.broadcast_to(idx, (b, h, w, nd)), axis=2
-        )
-        s_r = jnp.where(oob[None, None], BIG, s_r)
+        # right-view volume by static shifts: s_r[..., x, d] = agg[..., x+d, d]
+        slices = []
+        for dd in range(nd):
+            shift = dd + params.min_disparity
+            plane = agg[..., dd]  # (B, H, W)
+            if shift > 0:
+                plane = jnp.concatenate(
+                    [plane[..., shift:], jnp.full_like(plane[..., :shift], BIG)],
+                    axis=-1,
+                )
+            slices.append(plane)
+        s_r = jnp.stack(slices, axis=-1)
         d_right = jnp.argmin(s_r, axis=-1).astype(jnp.float32)  # (B, H, W)
-        # sample right-view disparity at x - d_L(x)
-        d_round = jnp.round(disp - params.min_disparity).astype(jnp.int32)
-        sample_x = jnp.clip(xs[None, None, :] - d_round - params.min_disparity, 0, w - 1)
-        d_r_at = jnp.take_along_axis(d_right, sample_x, axis=-1)
+        # d_R(x - d_L(x)) via static shifts again: for each candidate d,
+        # shift d_right right by d+min_disparity, then pick the plane
+        # matching round(d_L) with a minor-axis take (fast path on TPU).
+        d_round = jnp.clip(
+            jnp.round(disp - params.min_disparity).astype(jnp.int32), 0, nd - 1
+        )
+        shifted = []
+        for dd in range(nd):
+            shift = dd + params.min_disparity
+            plane = d_right
+            if shift > 0:
+                plane = jnp.concatenate(
+                    [plane[..., :shift], plane[..., :-shift]], axis=-1
+                )
+            shifted.append(plane)
+        d_right_vol = jnp.stack(shifted, axis=-1)  # (B, H, W, D)
+        d_r_at = jnp.take_along_axis(d_right_vol, d_round[..., None], axis=-1)[
+            ..., 0
+        ]
         lr_ok = jnp.abs((disp - params.min_disparity) - d_r_at) <= float(
             params.disp12_max_diff
         )

@@ -1,0 +1,69 @@
+"""Temporal-consistency filtering with cross-chip halo exchange.
+
+The reference saves depth per frame with no temporal filtering, which its
+own README lists as a stereo advantage left unexploited
+(readme.md:17 "temporal consistency"; per-frame normalization actually
+*breaks* it, SURVEY.md SS2.4-8). Here a temporal median-of-3 runs over the
+frame stream; when frames are sharded across chips, each shard swaps one
+boundary frame with its neighbors via ``jax.lax.ppermute`` inside
+``shard_map`` -- halo exchange over ICI, the video analogue of
+ring/blockwise context parallelism (SURVEY.md SS5-7).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from video3d_tpu.parallel.mesh import FRAMES_AXIS
+
+
+def _median3(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray) -> jnp.ndarray:
+    return jnp.maximum(jnp.minimum(jnp.maximum(a, b), c), jnp.minimum(a, b))
+
+
+def temporal_median3_local(depth: jnp.ndarray) -> jnp.ndarray:
+    """Median-of-3 along the leading frame axis, edges clamped."""
+    padded = jnp.concatenate([depth[:1], depth, depth[-1:]], axis=0)
+    return _median3(padded[:-2], padded[1:-1], padded[2:])
+
+
+def temporal_median3(depth: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
+    """Sharded temporal median-of-3: (T, H, W) sharded on T over ``mesh``.
+
+    Each shard sends its first frame to the left neighbor and its last
+    frame to the right neighbor (two ``ppermute`` rings), so every chip
+    can filter its boundary frames without gathering the stream. Global
+    stream edges clamp (first/last frame replicate), matching the
+    single-chip reference implementation exactly.
+    """
+    n = mesh.shape[FRAMES_AXIS]
+    if n == 1:
+        return temporal_median3_local(depth)
+
+    def local(block):
+        idx = jax.lax.axis_index(FRAMES_AXIS)
+        # halo from left neighbor: their last frame (ring shift right)
+        left_halo = jax.lax.ppermute(
+            block[-1:], FRAMES_AXIS, [(i, (i + 1) % n) for i in range(n)]
+        )
+        # halo from right neighbor: their first frame (ring shift left)
+        right_halo = jax.lax.ppermute(
+            block[:1], FRAMES_AXIS, [(i, (i - 1) % n) for i in range(n)]
+        )
+        # clamp at global stream edges (the ring wraps; shard 0's left
+        # halo and shard n-1's right halo are invalid)
+        left_halo = jnp.where(idx == 0, block[:1], left_halo)
+        right_halo = jnp.where(idx == n - 1, block[-1:], right_halo)
+        padded = jnp.concatenate([left_halo, block, right_halo], axis=0)
+        return _median3(padded[:-2], padded[1:-1], padded[2:])
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=P(FRAMES_AXIS),
+        out_specs=P(FRAMES_AXIS),
+    )(depth)

@@ -13,6 +13,8 @@ from video3d_tpu.stages.align import (
 )
 from video3d_tpu.stages.depth import StereoDepthExtractor, depth_batch_pipeline
 from video3d_tpu.stages.upscale import DepthUpscaler
+from video3d_tpu.stages.extract import AlignedExtractor
+from video3d_tpu.stages.pipeline import run_pipeline
 
 __all__ = [
     "VideoAligner",
@@ -21,4 +23,6 @@ __all__ = [
     "StereoDepthExtractor",
     "depth_batch_pipeline",
     "DepthUpscaler",
+    "AlignedExtractor",
+    "run_pipeline",
 ]

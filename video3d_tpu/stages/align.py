@@ -67,7 +67,11 @@ class VideoAligner:
             plot_audio_correlation(audio1, audio2, sr1, time_offset,
                                    self.work_dir, correlation=correlation)
 
-        frame_duration = 1.0 / self.video1_info["fps"]
+        # audio-only inputs probe with fps=0; fall back to film cadence so
+        # offset_frames/quality gates stay meaningful (reference assumes a
+        # real video stream, upscale.py:26 default 23.976)
+        fps = self.video1_info["fps"] or 23.976
+        frame_duration = 1.0 / fps
         offset_frames = time_offset / frame_duration
 
         print(f"Audio alignment: {time_offset:.3f}s offset "

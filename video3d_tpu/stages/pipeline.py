@@ -1,0 +1,106 @@
+"""One-command orchestrator: align -> depth -> upscale.
+
+Parity with the reference's ``run_pipeline`` (reference:
+run_pipeline.py:16-129): per-step wall-clock timing, skip flags,
+``--max-frames`` windowing, ``--force`` cache busting, printed summary.
+Differences by design: the depth extractor has a working canonical name
+(SURVEY.md SS2.4-1), timings are returned as a dict (machine-readable,
+not just printed), and there are no interactive gates.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Dict, Optional
+
+from video3d_tpu.stages.align import VideoAligner
+from video3d_tpu.stages.depth import StereoDepthExtractor
+from video3d_tpu.stages.upscale import DepthUpscaler
+
+
+def run_pipeline(
+    sbs_video: str,
+    video_4k: str,
+    work_dir: str = "temp_pipeline",
+    skip_alignment: bool = False,
+    skip_depth: bool = False,
+    skip_upscale: bool = False,
+    max_frames: Optional[int] = None,
+    force: bool = False,
+    guidance: str = "none",
+    upscale_method: str = "guided",
+    batch_size: Optional[int] = None,
+    min_correlation: float = 0.6,
+) -> Dict:
+    """Run the full pipeline; returns artifacts + per-step timings.
+
+    ``min_correlation`` is the proceed threshold of the reference
+    (align.py:172): below it the pipeline stops after alignment instead of
+    asking interactively.
+    """
+    work = Path(work_dir)
+    work.mkdir(parents=True, exist_ok=True)
+    timings: Dict[str, float] = {}
+    result: Dict = {"work_dir": str(work), "timings": timings}
+    t_total = time.time()
+
+    # Step 1: temporal alignment (run_pipeline.py:37-59)
+    alignment_file = work / "alignment_data.json"
+    if not skip_alignment:
+        t0 = time.time()
+        aligner = VideoAligner(sbs_video, video_4k, work_dir=str(work))
+        alignment = aligner.find_alignment()
+        quality = aligner.assess_alignment_quality(alignment)
+        timings["alignment"] = time.time() - t0
+        result["alignment"] = alignment
+        result["alignment_quality"] = quality
+        if alignment["correlation_strength"] < min_correlation:
+            print(
+                f"Stopping: correlation {alignment['correlation_strength']:.3f} "
+                f"< {min_correlation} (use skip_alignment to override)"
+            )
+            result["stopped"] = "low_correlation"
+            timings["total"] = time.time() - t_total
+            return result
+
+    # Step 2: depth extraction (run_pipeline.py:61-88)
+    depth_dir: Optional[Path] = None
+    if not skip_depth:
+        t0 = time.time()
+        extractor = StereoDepthExtractor(
+            work_dir=str(work), guidance=guidance, batch_size=batch_size
+        )
+        depth_dir = extractor.process_video_sbs(
+            sbs_video, max_frames=max_frames, force=force
+        )
+        timings["depth"] = time.time() - t0
+        result["depth_dir"] = str(depth_dir)
+
+    # Step 3: guided upscale + encode (run_pipeline.py:90-111)
+    if not skip_upscale:
+        if depth_dir is None:
+            # resume: locate the most recent depth cache in the work dir
+            candidates = sorted(
+                work.glob("depth_*/"), key=lambda p: p.stat().st_mtime
+            )
+            if not candidates:
+                raise RuntimeError(
+                    "No depth cache found; run the depth step first"
+                )
+            depth_dir = candidates[-1]
+        t0 = time.time()
+        upscaler = DepthUpscaler(work_dir=str(work), method=upscale_method)
+        output = upscaler.process_depth_upscaling(
+            str(depth_dir), video_4k, force=force, max_frames=max_frames
+        )
+        timings["upscale"] = time.time() - t0
+        result["output"] = str(output)
+
+    timings["total"] = time.time() - t_total
+    print("\nPipeline summary (run_pipeline.py:113-127 contract):")
+    for step, dt in timings.items():
+        print(f"  {step:>10}: {dt:8.1f}s")
+    if "output" in result:
+        print(f"  output: {result['output']}")
+    return result
