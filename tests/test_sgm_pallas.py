@@ -1,0 +1,73 @@
+"""Pallas SGM kernels vs the pure-jnp scan reference (SURVEY.md SS7-3).
+
+Runs the TPU kernels in interpreter mode on CPU and checks exact
+agreement with ops.stereo's lax.scan implementation, for both layouts,
+plus the full D-major WTA path against the standard one.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from video3d_tpu.kernels.sgm import (
+    sgm_aggregate_pallas,
+    sgm_aggregate_pallas_dmajor,
+)
+from video3d_tpu.ops.stereo import (
+    SGBMParams,
+    bt_cost_volume,
+    bt_cost_volume_dmajor,
+    box_aggregate,
+    box_aggregate_hw,
+    sgm_aggregate,
+    wta_disparity,
+    wta_disparity_dmajor,
+    xsobel_clip,
+)
+
+
+@pytest.fixture(scope="module")
+def cost(rng=None):
+    r = np.random.default_rng(0)
+    return jnp.asarray(r.uniform(0, 100, (2, 12, 16, 8)).astype(np.float32))
+
+
+@pytest.mark.parametrize("paths", [2, 4, 8])
+def test_pallas_sgm_matches_scan(cost, paths):
+    ref = sgm_aggregate(cost, SGBMParams(num_paths=paths, p1=6.0, p2=24.0))
+    out = sgm_aggregate_pallas(cost, paths, 6.0, 24.0, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
+
+
+@pytest.mark.parametrize("paths", [2, 4, 8])
+def test_pallas_sgm_dmajor_matches_scan(cost, paths):
+    ref = sgm_aggregate(cost, SGBMParams(num_paths=paths, p1=6.0, p2=24.0))
+    cost_d = jnp.moveaxis(cost, -1, -2)  # (B, H, D, W)
+    out = sgm_aggregate_pallas_dmajor(cost_d, paths, 6.0, 24.0, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(jnp.moveaxis(out, -2, -1)), np.asarray(ref), atol=1e-3
+    )
+
+
+def test_dmajor_cost_volume_and_box_match():
+    r = np.random.default_rng(1)
+    left = jnp.asarray(r.uniform(0, 255, (1, 16, 32)).astype(np.float32))
+    right = jnp.asarray(r.uniform(0, 255, (1, 16, 32)).astype(np.float32))
+    ref = box_aggregate(bt_cost_volume(left, right, 8), 5)
+    out = box_aggregate_hw(bt_cost_volume_dmajor(left, right, 8), 5)
+    np.testing.assert_allclose(
+        np.asarray(jnp.moveaxis(out, -2, -1)), np.asarray(ref), rtol=1e-5
+    )
+
+
+def test_dmajor_wta_matches_standard():
+    """Full WTA semantics: sub-pixel, uniqueness, LR check, invalidation."""
+    r = np.random.default_rng(2)
+    left = jnp.asarray(r.uniform(0, 255, (1, 20, 48)).astype(np.float32))
+    right = jnp.roll(left, 3, axis=-1)
+    p = SGBMParams(num_disparities=8, speckle_window_size=0)
+    lf, rf = xsobel_clip(left, 31), xsobel_clip(right, 31)
+    agg = sgm_aggregate(box_aggregate(bt_cost_volume(lf, rf, 8), 5), p)
+    ref = wta_disparity(agg, p)
+    out = wta_disparity_dmajor(jnp.moveaxis(agg, -1, -2), p)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

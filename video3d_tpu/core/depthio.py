@@ -21,14 +21,29 @@ from video3d_tpu.core.cache import depth_frame_name
 
 
 def save_depth_png16(path: str | Path, depth: np.ndarray) -> None:
-    """Save one uint16 depth map as PNG (reference depth.py:406)."""
+    """Save one uint16 depth map as PNG (reference depth.py:406).
+
+    Prefers the native C++ encoder (core/_native.py); cv2 fallback.
+    """
     if depth.dtype != np.uint16:
         raise TypeError(f"depth PNG expects uint16, got {depth.dtype}")
+    from video3d_tpu.core import _native
+
+    data = _native.encode_png16(depth)
+    if data is not None:
+        Path(path).write_bytes(data)
+        return
     if not cv2.imwrite(str(path), depth):
         raise RuntimeError(f"Failed to write depth PNG: {path}")
 
 
 def load_depth_png16(path: str | Path) -> np.ndarray:
+    from video3d_tpu.core import _native
+
+    if _native.lib() is not None:
+        out = _native.decode_png16(Path(path).read_bytes())
+        if out is not None:
+            return out
     depth = cv2.imread(str(path), cv2.IMREAD_UNCHANGED)
     if depth is None:
         raise RuntimeError(f"Failed to read depth PNG: {path}")
@@ -57,6 +72,27 @@ class DepthMapWriter:
 
     def put(self, batch: np.ndarray, start_index: int, valid: int) -> None:
         batch = np.asarray(batch)
+        from video3d_tpu.core import _native
+
+        if _native.lib() is not None:
+            # native path: one call hands the whole batch to the C++
+            # thread pool (no GIL, parallel deflate); scheduled on the
+            # Python pool only so put() stays non-blocking
+            paths = [
+                str(self.cache_dir / depth_frame_name(start_index + i))
+                for i in range(valid)
+            ]
+            chunk = np.ascontiguousarray(batch[:valid]).copy()
+
+            def write_native():
+                failures = _native.encode_batch_to_files(chunk, paths)
+                if failures:
+                    raise RuntimeError(
+                        f"native PNG encode failed for {failures} frames"
+                    )
+
+            self._futures.append(self._pool.submit(write_native))
+            return
         for i in range(valid):
             path = self.cache_dir / depth_frame_name(start_index + i)
             # copy: the caller may reuse/overwrite the batch buffer

@@ -49,33 +49,56 @@ def speckle_filter_device(
     radius = max(2, int(math.ceil(math.sqrt(float(min_region)))))
     valid = disp != invalid
 
-    lo, hi = float(value_range[0]), float(value_range[1])
-    n_bands = max(1, int(math.ceil((hi - lo) / float(max_diff)))) + 1
+    lo_v, hi_v = float(value_range[0]), float(value_range[1])
+    n_bands = max(1, int(math.ceil((hi_v - lo_v) / float(max_diff)))) + 1
     band = jnp.clip(
-        jnp.floor((disp - lo) / float(max_diff)).astype(jnp.int32), 0, n_bands - 1
+        jnp.floor((disp - lo_v) / float(max_diff)).astype(jnp.int32),
+        0,
+        n_bands - 1,
     )
-    one_hot = (
-        jax.nn.one_hot(band, n_bands, dtype=jnp.float32)
-        * valid[..., None].astype(jnp.float32)
-    )  # (..., H, W, n_bands)
-    # windowed count per band; one_hot has a trailing band axis, so count
-    # over the H/W axes which are now third/second from the end
-    counts = one_hot
-    for axis_from_end in (3, 2):
-        dims = [1] * counts.ndim
-        dims[-axis_from_end] = 2 * radius + 1
-        pad = [(0, 0)] * counts.ndim
-        pad[-axis_from_end] = (radius, radius)
-        counts = jax.lax.reduce_window(
-            counts, 0.0, jax.lax.add, tuple(dims), (1,) * counts.ndim, pad
+
+    def box_sum_axis(x: jnp.ndarray, axis: int, r: int) -> jnp.ndarray:
+        """Windowed sum over +-r along ``axis`` via integral image, using
+        only static slices/concats (gathers and (..., n_bands)-minor
+        arrays are TPU poison: measured 100 ms/frame at 1080p)."""
+        c = jnp.cumsum(x, axis=axis)
+        n = x.shape[axis]
+        last = jax.lax.slice_in_dim(c, n - 1, n, axis=axis)
+        hi = jnp.concatenate(
+            [
+                jax.lax.slice_in_dim(c, r, n, axis=axis),
+                jnp.repeat(last, r, axis=axis),
+            ],
+            axis=axis,
         )
-    # supporters: own band +- 1
-    take = lambda b: jnp.take_along_axis(counts, b[..., None], axis=-1)[..., 0]
-    support = take(band)
-    support = support + take(jnp.clip(band - 1, 0, n_bands - 1)) * (band > 0)
-    support = support + take(jnp.clip(band + 1, 0, n_bands - 1)) * (
-        band < n_bands - 1
-    )
+        zeros_shape = list(x.shape)
+        zeros_shape[axis] = r + 1
+        lo = jnp.concatenate(
+            [
+                jnp.zeros(zeros_shape, c.dtype),
+                jax.lax.slice_in_dim(c, 0, n - r - 1, axis=axis),
+            ],
+            axis=axis,
+        )
+        return hi - lo
+
+    # per-band windowed support counts, band-major (each a (..., H, W)
+    # plane), combined with fused selects -- no minor-band axis anywhere
+    counts = []
+    for k in range(n_bands):
+        m = ((band == k) & valid).astype(jnp.float32)
+        c = box_sum_axis(m, axis=-2, r=radius)
+        c = box_sum_axis(c, axis=-1, r=radius)
+        counts.append(c)
+    support = jnp.zeros(disp.shape, jnp.float32)
+    for k in range(n_bands):
+        s_k = counts[k]
+        if k > 0:
+            s_k = s_k + counts[k - 1]
+        if k < n_bands - 1:
+            s_k = s_k + counts[k + 1]
+        support = jnp.where(band == k, s_k, support)
+
     keep = valid & (support >= float(min_region))
     return jnp.where(keep, disp, jnp.float32(invalid))
 

@@ -110,6 +110,11 @@ def bt_cost_volume(
     w = left.shape[-1]
     xs = jnp.arange(w)
 
+    # Build D-major -- (..., D, H, W) -- so every stacked slice keeps W as
+    # its minor axis (natural (8, 128) tiling), then transpose once.
+    # Stacking along a new minor axis instead would materialize 64
+    # (..., 1)-minor copies, each padded 128x by TPU tiling (~1 GB of HLO
+    # temps at 1080p).
     slices = []
     for d in range(num_disparities):
         shift = d + min_disparity
@@ -122,7 +127,60 @@ def bt_cost_volume(
         cost = jnp.minimum(d_lr, d_rl)
         cost = jnp.where(xs - shift < 0, _SOBEL_CAP_BIG, cost)
         slices.append(cost)
-    return jnp.stack(slices, axis=-1)
+    return jnp.moveaxis(jnp.stack(slices, axis=-3), -3, -1)
+
+
+def bt_cost_volume_dmajor(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    num_disparities: int,
+    min_disparity: int = 0,
+) -> jnp.ndarray:
+    """BT cost volume in D-major layout: (..., H, W) -> (..., H, D, W).
+
+    TPU-friendly: every slice along D keeps W minor with natural
+    (8, 128) tiling; no (..., 1)-minor temporaries (which pad 128x under
+    TPU tiling and OOM at 1080p -- see sgm kernel notes). The (H, D, W)
+    ordering also matches the Pallas SGM kernel's (1, 1, D, W) blocks.
+    """
+    l_lo, l_hi = _bt_bounds(left)
+    r_lo, r_hi = _bt_bounds(right)
+    w = left.shape[-1]
+    xs = jnp.arange(w)
+    slices = []
+    for d in range(num_disparities):
+        shift = d + min_disparity
+        idx = jnp.clip(xs - shift, 0, w - 1)
+        r = jnp.take(right, idx, axis=-1)
+        rlo = jnp.take(r_lo, idx, axis=-1)
+        rhi = jnp.take(r_hi, idx, axis=-1)
+        d_lr = jnp.maximum(0.0, jnp.maximum(left - rhi, rlo - left))
+        d_rl = jnp.maximum(0.0, jnp.maximum(r - l_hi, l_lo - r))
+        cost = jnp.minimum(d_lr, d_rl)
+        cost = jnp.where(xs - shift < 0, _SOBEL_CAP_BIG, cost)
+        slices.append(cost)
+    return jnp.stack(slices, axis=-2)
+
+
+def box_aggregate_hw(cost: jnp.ndarray, block_size: int) -> jnp.ndarray:
+    """SAD-window sum over the H (axis -3) and W (axis -1) of (..., H, D, W)."""
+    if block_size <= 1:
+        return cost
+    pad = block_size // 2
+    dims = [1] * cost.ndim
+    dims[-3] = block_size
+    dims[-1] = block_size
+    pads = [(0, 0)] * cost.ndim
+    pads[-3] = (pad, pad)
+    pads[-1] = (pad, pad)
+    return jax.lax.reduce_window(
+        cost,
+        jnp.zeros((), cost.dtype),
+        jax.lax.add,
+        tuple(dims),
+        (1,) * cost.ndim,
+        pads,
+    )
 
 
 def box_aggregate(cost: jnp.ndarray, block_size: int) -> jnp.ndarray:
@@ -240,11 +298,17 @@ def wta_disparity(agg: jnp.ndarray, params: SGBMParams) -> jnp.ndarray:
     d_int = jnp.argmin(agg, axis=-1)  # (B, H, W)
     s_min = jnp.min(agg, axis=-1)
 
-    # quadratic sub-pixel interpolation around the minimum
-    d_m1 = jnp.clip(d_int - 1, 0, nd - 1)
-    d_p1 = jnp.clip(d_int + 1, 0, nd - 1)
-    take = lambda idx: jnp.take_along_axis(agg, idx[..., None], axis=-1)[..., 0]
-    s_m1, s_p1 = take(d_m1), take(d_p1)
+    # quadratic sub-pixel interpolation around the minimum. Neighbor costs
+    # are fetched by one-hot contraction over D instead of
+    # take_along_axis: a (..., 1)-minor gather pads 128x under TPU tiling
+    # (1 GB of temp per gather at 1080p) while the contraction stays in
+    # the natural (..., D) layout.
+    ds_iota = jax.lax.broadcasted_iota(jnp.int32, agg.shape, agg.ndim - 1)
+    onehot = ds_iota == d_int[..., None]
+    dn = jnp.concatenate([agg[..., :1], agg[..., :-1]], axis=-1)  # d-1
+    up = jnp.concatenate([agg[..., 1:], agg[..., -1:]], axis=-1)  # d+1
+    s_m1 = jnp.sum(jnp.where(onehot, dn, 0.0), axis=-1)
+    s_p1 = jnp.sum(jnp.where(onehot, up, 0.0), axis=-1)
     denom = s_m1 + s_p1 - 2.0 * s_min
     sub = jnp.where(denom > 1e-6, (s_m1 - s_p1) / (2.0 * denom + 1e-12), 0.0)
     sub = jnp.clip(sub, -0.5, 0.5)
@@ -275,26 +339,33 @@ def wta_disparity(agg: jnp.ndarray, params: SGBMParams) -> jnp.ndarray:
     # take_along_axis along a non-minor axis (measured 2.4 s/frame at
     # 1080p on v5e -- the original pipeline hot spot).
     if params.disp12_max_diff >= 0:
-        # right-view volume by static shifts: s_r[..., x, d] = agg[..., x+d, d]
-        slices = []
+        # right-view disparity: d_R(x) = argmin_d S_L(x+d, d), computed as
+        # a running min over 64 shifted (B, H, W) planes -- fused
+        # elementwise updates, no (B, H, W, D) temporary (stacking such a
+        # volume at 1080p costs ~0.5-1 GB of HLO temps and OOMs the chip).
+        agg_d = jnp.moveaxis(agg, -1, 1)  # (B, D, H, W) view for slicing
+        best = jnp.full(disp.shape, BIG, jnp.float32)
+        d_right = jnp.zeros(disp.shape, jnp.float32)
         for dd in range(nd):
             shift = dd + params.min_disparity
-            plane = agg[..., dd]  # (B, H, W)
+            plane = agg_d[:, dd]  # (B, H, W)
             if shift > 0:
                 plane = jnp.concatenate(
                     [plane[..., shift:], jnp.full_like(plane[..., :shift], BIG)],
                     axis=-1,
                 )
-            slices.append(plane)
-        s_r = jnp.stack(slices, axis=-1)
-        d_right = jnp.argmin(s_r, axis=-1).astype(jnp.float32)  # (B, H, W)
-        # d_R(x - d_L(x)) via static shifts again: for each candidate d,
-        # shift d_right right by d+min_disparity, then pick the plane
-        # matching round(d_L) with a minor-axis take (fast path on TPU).
+            better = plane < best
+            best = jnp.where(better, plane, best)
+            d_right = jnp.where(better, jnp.float32(dd), d_right)
+        # d_R(x - d_L(x)): for each candidate integer disparity dd, shift
+        # d_right right by dd and test only where round(d_L) == dd. A
+        # 64-way fused select loop -- no (.., 1)-minor gathers, which pad
+        # 128x on TPU and OOM at 1080p.
         d_round = jnp.clip(
             jnp.round(disp - params.min_disparity).astype(jnp.int32), 0, nd - 1
         )
-        shifted = []
+        dl = disp - params.min_disparity
+        lr_ok = jnp.zeros(disp.shape, bool)
         for dd in range(nd):
             shift = dd + params.min_disparity
             plane = d_right
@@ -302,14 +373,85 @@ def wta_disparity(agg: jnp.ndarray, params: SGBMParams) -> jnp.ndarray:
                 plane = jnp.concatenate(
                     [plane[..., :shift], plane[..., :-shift]], axis=-1
                 )
-            shifted.append(plane)
-        d_right_vol = jnp.stack(shifted, axis=-1)  # (B, H, W, D)
-        d_r_at = jnp.take_along_axis(d_right_vol, d_round[..., None], axis=-1)[
-            ..., 0
-        ]
-        lr_ok = jnp.abs((disp - params.min_disparity) - d_r_at) <= float(
-            params.disp12_max_diff
-        )
+            ok_dd = jnp.abs(dl - plane) <= float(params.disp12_max_diff)
+            lr_ok |= (d_round == dd) & ok_dd
+        valid &= lr_ok
+
+    return jnp.where(valid, disp, INVALID(params))
+
+
+def wta_disparity_dmajor(agg: jnp.ndarray, params: SGBMParams) -> jnp.ndarray:
+    """WTA + validation on a D-major aggregated volume (B, H, D, W).
+
+    Same semantics as :func:`wta_disparity` (tested equal), but every
+    per-disparity access is a (B, H, W) plane slice consumed by fused
+    running-min loops -- no (B, H, W, D) temporaries, no gathers. This is
+    the TPU-fast path used with the Pallas SGM kernel.
+    """
+    b, h, nd, w = agg.shape
+    min_d = params.min_disparity
+
+    # pass 1: running argmin with neighbor costs (for sub-pixel)
+    big = jnp.full((b, h, w), BIG, jnp.float32)
+    s_min, d_int = big, jnp.zeros((b, h, w), jnp.int32)
+    s_m1 = jnp.full_like(big, BIG)
+    s_p1 = jnp.full_like(big, BIG)
+    for dd in range(nd):
+        plane = agg[:, :, dd]
+        better = plane < s_min
+        prev_plane = agg[:, :, dd - 1] if dd > 0 else plane
+        next_plane = agg[:, :, dd + 1] if dd < nd - 1 else plane
+        s_m1 = jnp.where(better, prev_plane, s_m1)
+        s_p1 = jnp.where(better, next_plane, s_p1)
+        s_min = jnp.where(better, plane, s_min)
+        d_int = jnp.where(better, dd, d_int)
+
+    denom = s_m1 + s_p1 - 2.0 * s_min
+    sub = jnp.where(denom > 1e-6, (s_m1 - s_p1) / (2.0 * denom + 1e-12), 0.0)
+    sub = jnp.clip(sub, -0.5, 0.5)
+    sub = jnp.where((d_int == 0) | (d_int == nd - 1), 0.0, sub)
+    disp = d_int.astype(jnp.float32) + sub + float(min_d)
+
+    valid = s_min < BIG / 2
+    xs_full = jnp.arange(w)
+    valid &= (xs_full >= min_d + nd)[None, None, :]
+
+    # pass 2: uniqueness -- best cost outside the +-1 neighborhood
+    if params.uniqueness_ratio > 0:
+        second = jnp.full_like(big, BIG)
+        for dd in range(nd):
+            plane = jnp.where(jnp.abs(dd - d_int) <= 1, BIG, agg[:, :, dd])
+            second = jnp.minimum(second, plane)
+        valid &= second * 100.0 >= s_min * (100.0 + params.uniqueness_ratio)
+
+    # pass 3: left-right consistency, all static W-shifts
+    if params.disp12_max_diff >= 0:
+        best = jnp.full_like(big, BIG)
+        d_right = jnp.zeros_like(big)
+        for dd in range(nd):
+            shift = dd + min_d
+            plane = agg[:, :, dd]
+            if shift > 0:
+                plane = jnp.concatenate(
+                    [plane[..., shift:], jnp.full_like(plane[..., :shift], BIG)],
+                    axis=-1,
+                )
+            better = plane < best
+            best = jnp.where(better, plane, best)
+            d_right = jnp.where(better, jnp.float32(dd), d_right)
+        d_round = jnp.clip(jnp.round(disp - min_d).astype(jnp.int32), 0, nd - 1)
+        dl = disp - min_d
+        lr_ok = jnp.zeros(disp.shape, bool)
+        for dd in range(nd):
+            shift = dd + min_d
+            plane = d_right
+            if shift > 0:
+                plane = jnp.concatenate(
+                    [plane[..., :shift], plane[..., :-shift]], axis=-1
+                )
+            lr_ok |= (d_round == dd) & (
+                jnp.abs(dl - plane) <= float(params.disp12_max_diff)
+            )
         valid &= lr_ok
 
     return jnp.where(valid, disp, INVALID(params))
@@ -333,12 +475,34 @@ def sgbm_disparity(
     """
     lf = xsobel_clip(left_gray, params.prefilter_cap)
     rf = xsobel_clip(right_gray, params.prefilter_cap)
-    cost = bt_cost_volume(lf, rf, params.num_disparities, params.min_disparity)
-    cost = box_aggregate(cost, params.block_size)
-    # keep the border-invalid strip truly invalid after windowed sums
-    cost = jnp.minimum(cost, BIG)
-    agg = sgm_aggregate(cost, params)
-    disp = wta_disparity(agg, params)
+    if jax.default_backend() == "tpu":
+        # TPU-fast path: D-major (B, D, H, W) layout end to end -- every
+        # per-disparity slice is an (H, W)-minor plane with natural
+        # (8, 128) tiling -- plus a bf16 cost volume (box-aggregated BT
+        # costs <= ~4k, so bf16's ~0.4% relative error is far below the
+        # P1=600 smoothness scale) and the Pallas SGM kernel with f32
+        # accumulation.
+        from video3d_tpu.kernels.sgm import sgm_aggregate_pallas_dmajor
+
+        cost = bt_cost_volume_dmajor(
+            lf, rf, params.num_disparities, params.min_disparity
+        )
+        cost = box_aggregate_hw(cost, params.block_size)
+        cost = jnp.minimum(cost, BIG).astype(jnp.bfloat16)
+        agg = sgm_aggregate_pallas_dmajor(
+            cost, num_paths=params.num_paths,
+            p1=float(params.p1), p2=float(params.p2),
+        )
+        disp = wta_disparity_dmajor(agg, params)
+    else:
+        cost = bt_cost_volume(
+            lf, rf, params.num_disparities, params.min_disparity
+        )
+        cost = box_aggregate(cost, params.block_size)
+        # keep the border-invalid strip truly invalid after windowed sums
+        cost = jnp.minimum(cost, BIG)
+        agg = sgm_aggregate(cost, params)
+        disp = wta_disparity(agg, params)
     if apply_speckle and params.speckle_window_size > 0:
         from video3d_tpu.ops.speckle import speckle_filter_device
 
