@@ -70,6 +70,38 @@ def test_sharded_with_temporal_filter_runs(mesh8):
     assert out.shape == (16, 32, 64) and out.dtype == np.uint16
 
 
+def test_temporal_median_stream_matches_whole_stream():
+    from video3d_tpu.parallel.temporal import TemporalMedianStream
+
+    rng = np.random.default_rng(3)
+    stream = jnp.asarray(rng.uniform(0, 100, (11, 4, 8)).astype(np.float32))
+    ref = np.asarray(temporal_median3_local(stream))
+    s = TemporalMedianStream()
+    outs = []
+    # uneven batch sizes, including a size-1 tail
+    for chunk in (stream[:4], stream[4:7], stream[7:10], stream[10:]):
+        out = s.push(chunk)
+        if out is not None:
+            outs.append(np.asarray(out))
+    outs.append(np.asarray(s.flush()))
+    np.testing.assert_allclose(np.concatenate(outs), ref)
+
+
+def test_depth_stage_temporal_median(tmp_path):
+    from tests.test_depth_stage import make_sbs_video
+    from video3d_tpu.stages.depth import StereoDepthExtractor
+
+    video = tmp_path / "sbs.mp4"
+    make_sbs_video(video, n_frames=5, shift=4)
+    ext = StereoDepthExtractor(
+        work_dir=str(tmp_path / "w"), batch_size=2,
+        unsqueeze_anamorphic=False, apply_speckle=False, temporal_median=True,
+    )
+    cache = ext.process_video_sbs(str(video), max_frames=5)
+    files = sorted(cache.glob("depth_*.png"))
+    assert len(files) == 5
+
+
 def test_stage_timer_and_memory_stats():
     from video3d_tpu.utils.profiling import StageTimer, device_memory_stats
 

@@ -44,6 +44,10 @@ def build_parser() -> argparse.ArgumentParser:
                    "(depth.py:399-404)")
     p.add_argument("--no-speckle", action="store_true",
                    help="Skip speckle filtering")
+    p.add_argument("--temporal-median", action="store_true",
+                   help="Median-of-3 temporal smoothing over the frame "
+                   "stream (stereo advantage the reference leaves unused, "
+                   "readme.md:17)")
     p.add_argument("--force", action="store_true",
                    help="Recompute even if cached (depth.py:435-437)")
     return p
@@ -65,6 +69,7 @@ def main(argv=None) -> int:
         unsqueeze_anamorphic=not args.no_unsqueeze,
         normalize="per_frame" if args.per_frame_normalize else "fixed",
         apply_speckle=not args.no_speckle,
+        temporal_median=args.temporal_median,
     )
     cache = extractor.process_video_sbs(
         args.video,

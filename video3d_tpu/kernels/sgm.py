@@ -161,11 +161,17 @@ def _row_kernel_dmajor(
     shifts: Tuple[int, ...],
     p1: float,
     p2: float,
+    reverse: bool,
 ):
-    """Grid step = one scan line; blocks are (1, 1, D, W) -> (D, W) tiles.
+    """Grid step = RPS scan lines across a block-batch of frames.
 
-    The SGM recurrence runs over the disparity axis 0 (sublanes); the
-    diagonal lateral roll runs over the pixel axis 1 (lanes).
+    Blocks are (BB, RPS, D, W); the SGM recurrence runs over the
+    disparity axis (sublanes), the diagonal lateral roll over the pixel
+    axis (lanes). The RPS rows are processed sequentially in-register
+    (the recurrence is inherently serial along the scan), which divides
+    the grid-step count -- the passes are step-count-bound, not
+    bandwidth-bound, at 1080p. Reverse sweeps walk blocks and in-block
+    rows backwards.
     """
     y = pl.program_id(1)
 
@@ -173,28 +179,34 @@ def _row_kernel_dmajor(
     def _():
         carry_ref[...] = jnp.zeros_like(carry_ref)
 
-    c = cost_ref[0, 0].astype(jnp.float32)  # (D, W); cost may be bf16
-    w = c.shape[1]
-    total = acc_ref[0, 0]
-    for k, s in enumerate(shifts):
-        prev = carry_ref[k]  # (D, W)
-        if s != 0:
-            rolled = pltpu.roll(prev, s % w, axis=1)
-            cols = jax.lax.broadcasted_iota(jnp.int32, rolled.shape, 1)
-            edge = cols < s if s > 0 else cols >= w + s
-            prev = jnp.where(edge, 0.0, rolled)
-        m = jnp.min(prev, axis=0, keepdims=True)  # (1, W)
-        up = jnp.concatenate(
-            [prev[1:, :], jnp.full_like(prev[:1, :], BIG)], axis=0
-        )
-        dn = jnp.concatenate(
-            [jnp.full_like(prev[:1, :], BIG), prev[:-1, :]], axis=0
-        )
-        best = jnp.minimum(jnp.minimum(prev, m + p2), jnp.minimum(up, dn) + p1)
-        l_new = c + best - m
-        carry_ref[k] = l_new
-        total = total + l_new
-    out_ref[0, 0] = total
+    c_all = cost_ref[...].astype(jnp.float32)  # (BB, RPS, D, W)
+    rps = c_all.shape[1]
+    w = c_all.shape[-1]
+    rows = range(rps - 1, -1, -1) if reverse else range(rps)
+    for r in rows:
+        c = c_all[:, r]  # (BB, D, W)
+        total = acc_ref[:, r]
+        for k, s in enumerate(shifts):
+            prev = carry_ref[k]  # (BB, D, W)
+            if s != 0:
+                rolled = pltpu.roll(prev, s % w, axis=2)
+                cols = jax.lax.broadcasted_iota(jnp.int32, rolled.shape, 2)
+                edge = cols < s if s > 0 else cols >= w + s
+                prev = jnp.where(edge, 0.0, rolled)
+            m = jnp.min(prev, axis=1, keepdims=True)  # (BB, 1, W)
+            up = jnp.concatenate(
+                [prev[:, 1:, :], jnp.full_like(prev[:, :1, :], BIG)], axis=1
+            )
+            dn = jnp.concatenate(
+                [jnp.full_like(prev[:, :1, :], BIG), prev[:, :-1, :]], axis=1
+            )
+            best = jnp.minimum(
+                jnp.minimum(prev, m + p2), jnp.minimum(up, dn) + p1
+            )
+            l_new = c + best - m
+            carry_ref[k] = l_new
+            total = total + l_new
+        out_ref[:, r] = total
 
 
 def _directional_pass_dmajor(
@@ -208,19 +220,41 @@ def _directional_pass_dmajor(
 ) -> jnp.ndarray:
     """Sweep over axis 1 (scan lines) of (B, R, D, W), adding into acc."""
     b, h, d, w = cost.shape
+    # pick (block-batch, rows-per-step) to fill the VMEM budget: carry is
+    # len(shifts)*bb*d*w f32; cost/acc/out blocks are double-buffered
+    budget = 11 * 2**20
+
+    def vmem(bb, rps):
+        return (
+            len(shifts) * bb * 4 * d * w
+            + 2 * (bb * rps * (cost.dtype.itemsize + 8)) * d * w
+        )
+
+    bb = 1
+    rps = 1
+    for cand in (8, 6, 4, 3, 2):
+        if h % cand == 0 and vmem(1, cand) <= budget:
+            rps = cand
+            break
+    while bb * 2 <= b and b % (bb * 2) == 0 and vmem(bb * 2, rps) <= budget:
+        bb *= 2
+
+    nblk = h // rps
     if reverse:
-        index_map = lambda i, y: (i, h - 1 - y, 0, 0)
+        index_map = lambda i, y: (i, nblk - 1 - y, 0, 0)
     else:
         index_map = lambda i, y: (i, y, 0, 0)
-    spec = pl.BlockSpec((1, 1, d, w), index_map, memory_space=pltpu.VMEM)
-    kernel = functools.partial(_row_kernel_dmajor, shifts=shifts, p1=p1, p2=p2)
+    spec = pl.BlockSpec((bb, rps, d, w), index_map, memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _row_kernel_dmajor, shifts=shifts, p1=p1, p2=p2, reverse=reverse
+    )
     return pl.pallas_call(
         kernel,
-        grid=(b, h),
+        grid=(b // bb, nblk),
         in_specs=[spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(acc.shape, acc.dtype),
-        scratch_shapes=[pltpu.VMEM((len(shifts), d, w), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((len(shifts), bb, d, w), jnp.float32)],
         input_output_aliases={1: 0},
         interpret=interpret,
     )(cost, acc)

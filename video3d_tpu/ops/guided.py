@@ -27,21 +27,14 @@ from video3d_tpu.ops.image import resize2d, rgb_to_gray
 def box_filter(x: jnp.ndarray, radius: int) -> jnp.ndarray:
     """Mean over a (2r+1)^2 window of the last two axes, edge-normalized.
 
-    Uses windowed sums divided by the true (clipped-at-border) window area,
+    Windowed integral-image sums (O(1) per pixel; ``reduce_window`` costs
+    O(window) on TPU) divided by the true clipped-at-border window area,
     matching the standard guided-filter normalization.
     """
-    k = 2 * radius + 1
-    dims = [1] * x.ndim
-    dims[-2] = k
-    dims[-1] = k
-    pads = [(0, 0)] * (x.ndim - 2) + [(radius, radius), (radius, radius)]
-    summed = jax.lax.reduce_window(
-        x.astype(jnp.float32), 0.0, jax.lax.add, tuple(dims), (1,) * x.ndim, pads
-    )
-    ones = jnp.ones(x.shape[-2:], jnp.float32)
-    area = jax.lax.reduce_window(
-        ones, 0.0, jax.lax.add, (k, k), (1, 1), [(radius, radius)] * 2
-    )
+    from video3d_tpu.ops.boxsum import box_sum_2d, window_area
+
+    summed = box_sum_2d(x.astype(jnp.float32), radius)
+    area = window_area(x.shape[-2], x.shape[-1], radius)
     return summed / area
 
 

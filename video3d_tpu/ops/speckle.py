@@ -57,39 +57,16 @@ def speckle_filter_device(
         n_bands - 1,
     )
 
-    def box_sum_axis(x: jnp.ndarray, axis: int, r: int) -> jnp.ndarray:
-        """Windowed sum over +-r along ``axis`` via integral image, using
-        only static slices/concats (gathers and (..., n_bands)-minor
-        arrays are TPU poison: measured 100 ms/frame at 1080p)."""
-        c = jnp.cumsum(x, axis=axis)
-        n = x.shape[axis]
-        last = jax.lax.slice_in_dim(c, n - 1, n, axis=axis)
-        hi = jnp.concatenate(
-            [
-                jax.lax.slice_in_dim(c, r, n, axis=axis),
-                jnp.repeat(last, r, axis=axis),
-            ],
-            axis=axis,
-        )
-        zeros_shape = list(x.shape)
-        zeros_shape[axis] = r + 1
-        lo = jnp.concatenate(
-            [
-                jnp.zeros(zeros_shape, c.dtype),
-                jax.lax.slice_in_dim(c, 0, n - r - 1, axis=axis),
-            ],
-            axis=axis,
-        )
-        return hi - lo
+    from video3d_tpu.ops.boxsum import box_sum_2d
 
     # per-band windowed support counts, band-major (each a (..., H, W)
     # plane), combined with fused selects -- no minor-band axis anywhere
-    counts = []
-    for k in range(n_bands):
-        m = ((band == k) & valid).astype(jnp.float32)
-        c = box_sum_axis(m, axis=-2, r=radius)
-        c = box_sum_axis(c, axis=-1, r=radius)
-        counts.append(c)
+    # (gathers and (..., n_bands)-minor arrays are TPU poison: measured
+    # 100 ms/frame at 1080p before this formulation, ~0 ms after)
+    counts = [
+        box_sum_2d(((band == k) & valid).astype(jnp.float32), radius)
+        for k in range(n_bands)
+    ]
     support = jnp.zeros(disp.shape, jnp.float32)
     for k in range(n_bands):
         s_k = counts[k]

@@ -147,13 +147,22 @@ def bt_cost_volume_dmajor(
     r_lo, r_hi = _bt_bounds(right)
     w = left.shape[-1]
     xs = jnp.arange(w)
+
+    def shift_right(img, s):
+        """img sampled at x - s with left-edge clamp; static slices only
+        (jnp.take with an index vector lowers to a gather -- measured
+        12.6 ms/frame for the 64 takes at 1080p vs ~2 ms as slices)."""
+        if s == 0:
+            return img
+        edge = jnp.repeat(img[..., :1], s, axis=-1)
+        return jnp.concatenate([edge, img[..., :-s]], axis=-1)
+
     slices = []
     for d in range(num_disparities):
         shift = d + min_disparity
-        idx = jnp.clip(xs - shift, 0, w - 1)
-        r = jnp.take(right, idx, axis=-1)
-        rlo = jnp.take(r_lo, idx, axis=-1)
-        rhi = jnp.take(r_hi, idx, axis=-1)
+        r = shift_right(right, shift)
+        rlo = shift_right(r_lo, shift)
+        rhi = shift_right(r_hi, shift)
         d_lr = jnp.maximum(0.0, jnp.maximum(left - rhi, rlo - left))
         d_rl = jnp.maximum(0.0, jnp.maximum(r - l_hi, l_lo - r))
         cost = jnp.minimum(d_lr, d_rl)

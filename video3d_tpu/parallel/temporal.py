@@ -31,6 +31,51 @@ def temporal_median3_local(depth: jnp.ndarray) -> jnp.ndarray:
     return _median3(padded[:-2], padded[1:-1], padded[2:])
 
 
+class TemporalMedianStream:
+    """Streaming median-of-3 over a batched frame stream (host driver).
+
+    Frame i's output needs frames i-1 and i+1, so emission lags one
+    batch: ``push(batch)`` returns the *previous* batch filtered, and
+    ``flush()`` returns the final one. Global stream edges clamp,
+    matching :func:`temporal_median3_local` on the whole stream exactly.
+    """
+
+    def __init__(self):
+        self._prev = None  # (B, H, W) jnp array
+        self._prev_prev_last = None  # (1, H, W): frame before prev[0]
+
+    def push(self, batch):
+        batch = jnp.asarray(batch)
+        out = None
+        if self._prev is not None:
+            left = (
+                self._prev_prev_last
+                if self._prev_prev_last is not None
+                else self._prev[:1]
+            )
+            window = jnp.concatenate([left, self._prev, batch[:1]], axis=0)
+            out = _median3(window[:-2], window[1:-1], window[2:])
+        self._prev_prev_last = (
+            self._prev[-1:] if self._prev is not None else None
+        )
+        self._prev = batch
+        return out
+
+    def flush(self):
+        if self._prev is None:
+            return None
+        left = (
+            self._prev_prev_last
+            if self._prev_prev_last is not None
+            else self._prev[:1]
+        )
+        window = jnp.concatenate([left, self._prev, self._prev[-1:]], axis=0)
+        out = _median3(window[:-2], window[1:-1], window[2:])
+        self._prev = None
+        self._prev_prev_last = None
+        return out
+
+
 def temporal_median3(depth: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
     """Sharded temporal median-of-3: (T, H, W) sharded on T over ``mesh``.
 

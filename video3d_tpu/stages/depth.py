@@ -132,6 +132,7 @@ class StereoDepthExtractor:
         unsqueeze_anamorphic: bool = True,
         normalize: str = "fixed",
         apply_speckle: bool = True,
+        temporal_median: bool = False,
         params: SGBMParams = SGBMParams(),
     ):
         self.work_dir = create_work_directory(work_dir)
@@ -141,6 +142,7 @@ class StereoDepthExtractor:
         self.unsqueeze_anamorphic = bool(unsqueeze_anamorphic)
         self.normalize = normalize
         self.apply_speckle = bool(apply_speckle)
+        self.temporal_median = bool(temporal_median)
         self.params = params
         self._guidance_fn: Optional[Callable] = None
         self._guidance_loaded = False
@@ -183,7 +185,9 @@ class StereoDepthExtractor:
         except Exception:
             limit = 16 * 2**30
         w_eye = width // 2 * (2 if self.unsqueeze_anamorphic else 1)
-        per_frame = 4 * height * w_eye * self.params.num_disparities * 7
+        # live volumes: bf16 cost (+transpose copy) + f32 acc (+transpose)
+        # + WTA working set ~= 4 bytes/elem * ~3.2 volumes
+        per_frame = int(4 * height * w_eye * self.params.num_disparities * 3.2)
         b = max(1, int(limit * 0.5 / per_frame))
         return min(b, 8)
 
@@ -211,12 +215,20 @@ class StereoDepthExtractor:
             else (max_frames if max_frames is not None else n_total)
         )
 
+        # cache key parts extend the reference's (video, start, count,
+        # model, unsqueeze) [depth.py:119-120] with the output-affecting
+        # options the reference doesn't have, so variants don't collide
+        model_key = self.model_checkpoint
+        if self.normalize != "fixed":
+            model_key += f"+norm={self.normalize}"
+        if self.temporal_median:
+            model_key += "+tmedian"
         cache = depth_cache_dir(
             self.work_dir,
             str(video_path),
             start_frame,
             n_frames if n_frames is not None else "all",
-            self.model_checkpoint,
+            model_key,
             self.unsqueeze_anamorphic,
         )
         if not force and n_frames is not None and is_depth_cached(cache, n_frames):
@@ -239,7 +251,13 @@ class StereoDepthExtractor:
             batch_size=batch,
         )
         done = 0
+        written = 0
         t0 = time.time()
+        smoother = None
+        if self.temporal_median:
+            from video3d_tpu.parallel.temporal import TemporalMedianStream
+
+            smoother = TemporalMedianStream()
         with DepthMapWriter(cache) as writer:
             for frames, valid in reader:
                 depth = depth_batch_pipeline(
@@ -250,11 +268,21 @@ class StereoDepthExtractor:
                     apply_speckle=self.apply_speckle,
                     guidance_fn=self._guidance_fn,
                 )
-                writer.put(np.asarray(depth), done, valid)
+                if smoother is not None:
+                    out = smoother.push(depth[:valid])
+                    if out is not None:
+                        writer.put(np.asarray(out), written, out.shape[0])
+                        written += out.shape[0]
+                else:
+                    writer.put(np.asarray(depth), done, valid)
                 done += valid
                 if done % 100 < valid:
                     dt = time.time() - t0
                     print(f"  {done} frames ({done / max(dt, 1e-9):.1f} fps)")
+            if smoother is not None:
+                out = smoother.flush()
+                if out is not None:
+                    writer.put(np.asarray(out), written, out.shape[0])
         dt = time.time() - t0
         print(
             f"Depth extraction done: {done} frames in {dt:.1f}s "
