@@ -60,6 +60,23 @@ def test_dmajor_cost_volume_and_box_match():
     )
 
 
+def test_fused_final_wta_matches_unfused():
+    """sgm_wta_pallas_dmajor == aggregate + wta_disparity_dmajor."""
+    from video3d_tpu.kernels.sgm import sgm_wta_pallas_dmajor
+
+    r = np.random.default_rng(3)
+    left = jnp.asarray(r.uniform(0, 255, (2, 24, 48)).astype(np.float32))
+    right = jnp.roll(left, 3, axis=-1)
+    p = SGBMParams(num_disparities=8, speckle_window_size=0)
+    lf, rf = xsobel_clip(left, 31), xsobel_clip(right, 31)
+    cost = box_aggregate_hw(bt_cost_volume_dmajor(lf, rf, 8), 5)
+    cost = jnp.minimum(cost, 1e9)
+    agg = sgm_aggregate_pallas_dmajor(cost, 8, p.p1, p.p2, interpret=True)
+    ref = wta_disparity_dmajor(agg, p)
+    out = sgm_wta_pallas_dmajor(cost, p, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
 def test_dmajor_wta_matches_standard():
     """Full WTA semantics: sub-pixel, uniqueness, LR check, invalidation."""
     r = np.random.default_rng(2)

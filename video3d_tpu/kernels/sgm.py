@@ -185,7 +185,7 @@ def _row_kernel_dmajor(
     rows = range(rps - 1, -1, -1) if reverse else range(rps)
     for r in rows:
         c = c_all[:, r]  # (BB, D, W)
-        total = acc_ref[:, r]
+        total = acc_ref[:, r] if acc_ref is not None else jnp.zeros_like(c)
         for k, s in enumerate(shifts):
             prev = carry_ref[k]  # (BB, D, W)
             if s != 0:
@@ -211,14 +211,18 @@ def _row_kernel_dmajor(
 
 def _directional_pass_dmajor(
     cost: jnp.ndarray,
-    acc: jnp.ndarray,
+    acc: Optional[jnp.ndarray],
     shifts: Tuple[int, ...],
     p1: float,
     p2: float,
     reverse: bool,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Sweep over axis 1 (scan lines) of (B, R, D, W), adding into acc."""
+    """Sweep over axis 1 (scan lines) of (B, R, D, W), adding into acc.
+
+    ``acc=None`` starts a fresh accumulation (no zeros round-trip
+    through HBM for the first pass).
+    """
     b, h, d, w = cost.shape
     # pick (block-batch, rows-per-step) to fill the VMEM budget: carry is
     # len(shifts)*bb*d*w f32; cost/acc/out blocks are double-buffered
@@ -245,6 +249,22 @@ def _directional_pass_dmajor(
     else:
         index_map = lambda i, y: (i, y, 0, 0)
     spec = pl.BlockSpec((bb, rps, d, w), index_map, memory_space=pltpu.VMEM)
+    if acc is None:
+        def kernel_noacc(cost_ref, out_ref, carry_ref):
+            _row_kernel_dmajor(
+                cost_ref, None, out_ref, carry_ref,
+                shifts=shifts, p1=p1, p2=p2, reverse=reverse,
+            )
+
+        return pl.pallas_call(
+            kernel_noacc,
+            grid=(b // bb, nblk),
+            in_specs=[spec],
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct(cost.shape, jnp.float32),
+            scratch_shapes=[pltpu.VMEM((len(shifts), bb, d, w), jnp.float32)],
+            interpret=interpret,
+        )(cost)
     kernel = functools.partial(
         _row_kernel_dmajor, shifts=shifts, p1=p1, p2=p2, reverse=reverse
     )
@@ -258,6 +278,199 @@ def _directional_pass_dmajor(
         input_output_aliases={1: 0},
         interpret=interpret,
     )(cost, acc)
+
+
+def _final_wta_kernel_dmajor(
+    cost_ref,
+    acc_ref,
+    disp_ref,
+    carry_ref,
+    *,
+    shifts: Tuple[int, ...],
+    p1: float,
+    p2: float,
+    min_disparity: int,
+    uniqueness_ratio: int,
+    disp12_max_diff: int,
+):
+    """Final (reverse) sweep fused with winner-take-all.
+
+    Computes the last directions' path costs, adds the accumulated
+    passes, and turns the complete per-row total (BB, D, W) directly
+    into validated sub-pixel disparity rows -- the aggregated volume
+    never round-trips HBM and the separate WTA pass disappears. WTA
+    semantics identical to ops.stereo.wta_disparity_dmajor (tested).
+    """
+    y = pl.program_id(1)
+
+    @pl.when(y == 0)
+    def _():
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    c_all = cost_ref[...].astype(jnp.float32)  # (BB, RPS, D, W)
+    bb, rps, nd, w = c_all.shape
+    for r in range(rps - 1, -1, -1):  # reverse sweep
+        c = c_all[:, r]
+        total = acc_ref[:, r]
+        for k, s in enumerate(shifts):
+            prev = carry_ref[k]
+            if s != 0:
+                rolled = pltpu.roll(prev, s % w, axis=2)
+                cols = jax.lax.broadcasted_iota(jnp.int32, rolled.shape, 2)
+                edge = cols < s if s > 0 else cols >= w + s
+                prev = jnp.where(edge, 0.0, rolled)
+            m = jnp.min(prev, axis=1, keepdims=True)
+            up = jnp.concatenate(
+                [prev[:, 1:, :], jnp.full_like(prev[:, :1, :], BIG)], axis=1
+            )
+            dn = jnp.concatenate(
+                [jnp.full_like(prev[:, :1, :], BIG), prev[:, :-1, :]], axis=1
+            )
+            best = jnp.minimum(
+                jnp.minimum(prev, m + p2), jnp.minimum(up, dn) + p1
+            )
+            l_new = c + best - m
+            carry_ref[k] = l_new
+            total = total + l_new
+
+        # ---- winner-take-all on the complete row total (BB, D, W) ----
+        d_iota = jax.lax.broadcasted_iota(jnp.int32, total.shape, 1)
+        s_min_k = jnp.min(total, axis=1, keepdims=True)  # (BB, 1, W)
+        is_min = total == s_min_k
+        d_int = jnp.min(
+            jnp.where(is_min, d_iota, nd), axis=1
+        )  # (BB, W); first minimum like argmin
+        s_min = s_min_k[:, 0]
+        dn_t = jnp.concatenate([total[:, :1], total[:, :-1]], axis=1)
+        up_t = jnp.concatenate([total[:, 1:], total[:, -1:]], axis=1)
+        onehot = d_iota == d_int[:, None, :]
+        s_m1 = jnp.sum(jnp.where(onehot, dn_t, 0.0), axis=1)
+        s_p1 = jnp.sum(jnp.where(onehot, up_t, 0.0), axis=1)
+        denom = s_m1 + s_p1 - 2.0 * s_min
+        sub = jnp.where(
+            denom > 1e-6, (s_m1 - s_p1) / (2.0 * denom + 1e-12), 0.0
+        )
+        sub = jnp.clip(sub, -0.5, 0.5)
+        sub = jnp.where((d_int == 0) | (d_int == nd - 1), 0.0, sub)
+        disp = d_int.astype(jnp.float32) + sub + float(min_disparity)
+
+        valid = s_min < BIG / 2
+        x_iota = jax.lax.broadcasted_iota(jnp.int32, s_min.shape, 1)
+        valid &= x_iota >= min_disparity + nd
+
+        if uniqueness_ratio > 0:
+            near = jnp.abs(d_iota - d_int[:, None, :]) <= 1
+            second = jnp.min(jnp.where(near, BIG, total), axis=1)
+            valid &= second * 100.0 >= s_min * (100.0 + uniqueness_ratio)
+
+        if disp12_max_diff >= 0:
+            # lane-dim shifts as rolls + iota masks: Mosaic cannot concat
+            # lane slices at non-128-aligned offsets ("result/input
+            # offset mismatch on non-concat dimension")
+            best_r = jnp.full_like(s_min, BIG)
+            d_right = jnp.zeros_like(s_min)
+            for dd in range(nd):
+                shift = dd + min_disparity
+                plane = total[:, dd]  # (BB, W)
+                if shift > 0:
+                    rolled = pltpu.roll(plane, (w - shift) % w, axis=1)
+                    plane = jnp.where(x_iota >= w - shift, BIG, rolled)
+                better = plane < best_r
+                best_r = jnp.where(better, plane, best_r)
+                d_right = jnp.where(better, jnp.float32(dd), d_right)
+            d_round = jnp.clip(
+                jnp.round(disp - min_disparity).astype(jnp.int32), 0, nd - 1
+            )
+            dl = disp - min_disparity
+            lr_ok = jnp.zeros(disp.shape, bool)
+            for dd in range(nd):
+                shift = dd + min_disparity
+                plane = d_right
+                if shift > 0:
+                    # wrapped head lands only on x < shift, always inside
+                    # the invalid strip (x < min_disparity + nd)
+                    plane = pltpu.roll(plane, shift, axis=1)
+                lr_ok |= (d_round == dd) & (
+                    jnp.abs(dl - plane) <= float(disp12_max_diff)
+                )
+            valid &= lr_ok
+
+        disp_ref[:, r, 0, :] = jnp.where(
+            valid, disp, float(min_disparity - 1)
+        )
+
+
+def sgm_wta_pallas_dmajor(
+    cost: jnp.ndarray,
+    params,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Full SGM aggregation + WTA, D-major: (B, H, D, W) cost -> (B, H, W).
+
+    Passes 1-3 accumulate as in :func:`sgm_aggregate_pallas_dmajor`; the
+    final reverse vertical pass is fused with WTA so the aggregated
+    volume never returns to HBM.
+    """
+    p1, p2 = float(params.p1), float(params.p2)
+    b, h, d, w = cost.shape
+
+    cost_t = jnp.swapaxes(cost, 1, 3)  # (B, W, D, H)
+    acc_t = _directional_pass_dmajor(cost_t, None, (0,), p1, p2, False, interpret)
+    acc_t = _directional_pass_dmajor(cost_t, acc_t, (0,), p1, p2, True, interpret)
+    acc = jnp.swapaxes(acc_t, 1, 3)
+
+    if params.num_paths >= 4:
+        shifts = (0, 1, -1) if params.num_paths >= 8 else (0,)
+    else:
+        # horizontal-only: the "final" pass contributes no new directions,
+        # so run plain WTA on the accumulated volume instead
+        from video3d_tpu.ops.stereo import wta_disparity_dmajor
+
+        return wta_disparity_dmajor(acc, params)
+    acc = _directional_pass_dmajor(cost, acc, shifts, p1, p2, False, interpret)
+
+    # final reverse pass fused with WTA
+    budget = 11 * 2**20
+
+    def vmem(bb, rps):
+        return (
+            len(shifts) * bb * 4 * d * w
+            + 2 * bb * rps * (cost.dtype.itemsize + 4) * d * w
+        )
+
+    rps = 1
+    for cand in (8, 6, 4, 3, 2):
+        if h % cand == 0 and vmem(1, cand) <= budget:
+            rps = cand
+            break
+    bb = 1
+    while bb * 2 <= b and b % (bb * 2) == 0 and vmem(bb * 2, rps) <= budget:
+        bb *= 2
+    nblk = h // rps
+    index_map = lambda i, y: (i, nblk - 1 - y, 0, 0)
+    spec = pl.BlockSpec((bb, rps, d, w), index_map, memory_space=pltpu.VMEM)
+    disp_spec = pl.BlockSpec(
+        (bb, rps, 1, w), index_map, memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(
+        _final_wta_kernel_dmajor,
+        shifts=shifts,
+        p1=p1,
+        p2=p2,
+        min_disparity=int(params.min_disparity),
+        uniqueness_ratio=int(params.uniqueness_ratio),
+        disp12_max_diff=int(params.disp12_max_diff),
+    )
+    disp = pl.pallas_call(
+        kernel,
+        grid=(b // bb, nblk),
+        in_specs=[spec, spec],
+        out_specs=disp_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, 1, w), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((len(shifts), bb, d, w), jnp.float32)],
+        interpret=interpret,
+    )(cost, acc)
+    return disp[:, :, 0, :]
 
 
 def sgm_aggregate_pallas_dmajor(
@@ -276,8 +489,7 @@ def sgm_aggregate_pallas_dmajor(
     b, h, d, w = cost.shape
 
     cost_t = jnp.swapaxes(cost, 1, 3)  # (B, W, D, H)
-    acc_t = jnp.zeros(cost_t.shape, jnp.float32)
-    acc_t = _directional_pass_dmajor(cost_t, acc_t, (0,), p1, p2, False, interpret)
+    acc_t = _directional_pass_dmajor(cost_t, None, (0,), p1, p2, False, interpret)
     acc_t = _directional_pass_dmajor(cost_t, acc_t, (0,), p1, p2, True, interpret)
     acc = jnp.swapaxes(acc_t, 1, 3)
 

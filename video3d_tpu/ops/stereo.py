@@ -491,18 +491,14 @@ def sgbm_disparity(
         # costs <= ~4k, so bf16's ~0.4% relative error is far below the
         # P1=600 smoothness scale) and the Pallas SGM kernel with f32
         # accumulation.
-        from video3d_tpu.kernels.sgm import sgm_aggregate_pallas_dmajor
+        from video3d_tpu.kernels.sgm import sgm_wta_pallas_dmajor
 
         cost = bt_cost_volume_dmajor(
             lf, rf, params.num_disparities, params.min_disparity
         )
         cost = box_aggregate_hw(cost, params.block_size)
         cost = jnp.minimum(cost, BIG).astype(jnp.bfloat16)
-        agg = sgm_aggregate_pallas_dmajor(
-            cost, num_paths=params.num_paths,
-            p1=float(params.p1), p2=float(params.p2),
-        )
-        disp = wta_disparity_dmajor(agg, params)
+        disp = sgm_wta_pallas_dmajor(cost, params)
     else:
         cost = bt_cost_volume(
             lf, rf, params.num_disparities, params.min_disparity
