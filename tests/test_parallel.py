@@ -102,6 +102,46 @@ def test_depth_stage_temporal_median(tmp_path):
     assert len(files) == 5
 
 
+def test_frame_ranges_partitioning():
+    from video3d_tpu.parallel.multihost import frame_ranges, host_frame_slice
+
+    assert frame_ranges(10, 3) == [(0, 4), (4, 3), (7, 3)]
+    assert frame_ranges(6, 3) == [(0, 2), (2, 2), (4, 2)]
+    assert frame_ranges(2, 4) == [(0, 1), (1, 1), (2, 0), (2, 0)]
+    # covers the stream exactly
+    rs = frame_ranges(1001, 7)
+    assert sum(c for _, c in rs) == 1001
+    assert rs[0][0] == 0 and all(
+        rs[i][0] + rs[i][1] == rs[i + 1][0] for i in range(6)
+    )
+    assert host_frame_slice(10, process_index=1, process_count=3) == (4, 3)
+
+
+def test_multihost_sharded_depth_cache(tmp_path):
+    """Three simulated hosts fill one shared cache with global numbering."""
+    from unittest import mock
+
+    from tests.test_depth_stage import make_sbs_video
+    from video3d_tpu.stages.depth import StereoDepthExtractor
+
+    video = tmp_path / "sbs.mp4"
+    make_sbs_video(video, n_frames=7, shift=4)
+
+    caches = []
+    for host in range(3):
+        ext = StereoDepthExtractor(
+            work_dir=str(tmp_path / "w"), batch_size=2,
+            unsqueeze_anamorphic=False, apply_speckle=False,
+        )
+        with mock.patch("jax.process_index", return_value=host), mock.patch(
+            "jax.process_count", return_value=3
+        ):
+            caches.append(ext.process_video_sbs_sharded(str(video)))
+    assert len(set(caches)) == 1  # one shared dir
+    files = sorted(caches[0].glob("depth_*.png"))
+    assert [f.name for f in files] == [f"depth_{i:06d}.png" for i in range(7)]
+
+
 def test_stage_timer_and_memory_stats():
     from video3d_tpu.utils.profiling import StageTimer, device_memory_stats
 

@@ -50,6 +50,15 @@ def build_parser() -> argparse.ArgumentParser:
                    "readme.md:17)")
     p.add_argument("--force", action="store_true",
                    help="Recompute even if cached (depth.py:435-437)")
+    p.add_argument("--multihost", action="store_true",
+                   help="Process only this host's contiguous share of the "
+                   "frame stream (jax.process_index) into a shared, "
+                   "globally numbered cache dir")
+    p.add_argument("--coordinator", default=None,
+                   help="jax.distributed coordinator address for "
+                   "--multihost runs (host:port)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p
 
 
@@ -71,12 +80,20 @@ def main(argv=None) -> int:
         apply_speckle=not args.no_speckle,
         temporal_median=args.temporal_median,
     )
-    cache = extractor.process_video_sbs(
-        args.video,
-        start_frame=args.start_frame,
-        max_frames=args.max_frames,
-        force=args.force,
-    )
+    if args.multihost:
+        from video3d_tpu.parallel.multihost import initialize
+
+        initialize(args.coordinator, args.num_processes, args.process_id)
+        cache = extractor.process_video_sbs_sharded(
+            args.video, max_frames=args.max_frames, force=args.force
+        )
+    else:
+        cache = extractor.process_video_sbs(
+            args.video,
+            start_frame=args.start_frame,
+            max_frames=args.max_frames,
+            force=args.force,
+        )
     print(f"Depth maps: {cache}")
     return 0
 

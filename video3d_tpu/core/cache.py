@@ -54,7 +54,18 @@ def depth_frame_name(index: int) -> str:
 
 def is_depth_cached(cache_dir: str | Path, frame_count: int) -> bool:
     """Cache hit requires ALL expected frames present (reference depth.py:127-140)."""
+    return is_depth_cached_range(cache_dir, 0, frame_count)
+
+
+def is_depth_cached_range(
+    cache_dir: str | Path, start: int, count: int
+) -> bool:
+    """Completeness check for a sub-range [start, start+count) of a shared
+    multi-host cache dir (frame indices are global)."""
     cache = Path(cache_dir)
     if not cache.exists():
         return False
-    return all((cache / depth_frame_name(i)).exists() for i in range(frame_count))
+    return all(
+        (cache / depth_frame_name(i)).exists()
+        for i in range(start, start + count)
+    )

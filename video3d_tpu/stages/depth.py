@@ -193,17 +193,65 @@ class StereoDepthExtractor:
 
     # -- main entry ---------------------------------------------------------
 
+    def process_video_sbs_sharded(
+        self,
+        video_path: str,
+        max_frames: Optional[int] = None,
+        force: bool = False,
+    ) -> Path:
+        """Multi-host variant: this host processes its contiguous share of
+        the frame stream into a SHARED cache dir with globally numbered
+        frames (SURVEY.md SS2.3: frame-range work partitioning; recovery =
+        reassign ranges, completed frames are skipped via the cache)."""
+        from video3d_tpu.parallel.multihost import host_frame_slice
+
+        info = get_video_info(str(video_path))
+        if info is None:
+            raise RuntimeError(f"Cannot probe video: {video_path}")
+        n_total = info["frames"]
+        n = min(n_total, max_frames) if max_frames is not None else n_total
+        start, count = host_frame_slice(n)
+        # shared cache key covers the WHOLE stream so all hosts agree
+        cache = depth_cache_dir(
+            self.work_dir, str(video_path), 0, n,
+            self._model_key() + "+multihost", self.unsqueeze_anamorphic,
+        )
+        print(
+            f"Host {__import__('jax').process_index()}: frames "
+            f"[{start}, {start + count}) of {n} -> {cache}"
+        )
+        return self.process_video_sbs(
+            video_path,
+            start_frame=start,
+            max_frames=count,
+            force=force,
+            cache_dir=cache,
+            index_offset=start,
+        )
+
+    def _model_key(self) -> str:
+        model_key = self.model_checkpoint
+        if self.normalize != "fixed":
+            model_key += f"+norm={self.normalize}"
+        if self.temporal_median:
+            model_key += "+tmedian"
+        return model_key
+
     def process_video_sbs(
         self,
         video_path: str,
         start_frame: int = 0,
         max_frames: Optional[int] = None,
         force: bool = False,
+        cache_dir: Optional[Path] = None,
+        index_offset: int = 0,
     ) -> Path:
         """Extract depth maps for a frame range; returns the cache dir.
 
         Idempotent: on a complete cache hit returns immediately unless
-        ``force`` (reference depth.py:433-437).
+        ``force`` (reference depth.py:433-437). ``cache_dir``/
+        ``index_offset`` support shared multi-host caches with global
+        frame numbering (see :meth:`process_video_sbs_sharded`).
         """
         info = get_video_info(str(video_path))
         if info is None:
@@ -215,23 +263,27 @@ class StereoDepthExtractor:
             else (max_frames if max_frames is not None else n_total)
         )
 
-        # cache key parts extend the reference's (video, start, count,
-        # model, unsqueeze) [depth.py:119-120] with the output-affecting
-        # options the reference doesn't have, so variants don't collide
-        model_key = self.model_checkpoint
-        if self.normalize != "fixed":
-            model_key += f"+norm={self.normalize}"
-        if self.temporal_median:
-            model_key += "+tmedian"
-        cache = depth_cache_dir(
-            self.work_dir,
-            str(video_path),
-            start_frame,
-            n_frames if n_frames is not None else "all",
-            model_key,
-            self.unsqueeze_anamorphic,
-        )
-        if not force and n_frames is not None and is_depth_cached(cache, n_frames):
+        if cache_dir is not None:
+            cache = Path(cache_dir)
+        else:
+            # cache key parts extend the reference's (video, start, count,
+            # model, unsqueeze) [depth.py:119-120] with the output-affecting
+            # options the reference doesn't have, so variants don't collide
+            cache = depth_cache_dir(
+                self.work_dir,
+                str(video_path),
+                start_frame,
+                n_frames if n_frames is not None else "all",
+                self._model_key(),
+                self.unsqueeze_anamorphic,
+            )
+        from video3d_tpu.core.cache import is_depth_cached_range
+
+        if (
+            not force
+            and n_frames is not None
+            and is_depth_cached_range(cache, index_offset, n_frames)
+        ):
             print(f"Using cached depth maps: {cache}")
             return cache
 
@@ -251,7 +303,7 @@ class StereoDepthExtractor:
             batch_size=batch,
         )
         done = 0
-        written = 0
+        written = index_offset
         t0 = time.time()
         smoother = None
         if self.temporal_median:
@@ -274,7 +326,7 @@ class StereoDepthExtractor:
                         writer.put(np.asarray(out), written, out.shape[0])
                         written += out.shape[0]
                 else:
-                    writer.put(np.asarray(depth), done, valid)
+                    writer.put(np.asarray(depth), index_offset + done, valid)
                 done += valid
                 if done % 100 < valid:
                     dt = time.time() - t0
