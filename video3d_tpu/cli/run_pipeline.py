@@ -23,7 +23,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Process only the first N frames (run_pipeline.py:139)")
     p.add_argument("--force", action="store_true",
                    help="Recompute cached artifacts")
-    p.add_argument("--guidance", choices=["none", "dpt"], default="none",
+    p.add_argument("--guidance", choices=["none", "dpt", "crestereo"],
+                   default="none",
                    help="Neural guidance backend for the depth stage")
     p.add_argument("--upscale-method", choices=["guided", "scale"],
                    default="guided")

@@ -7,6 +7,11 @@ jit/pjit-shardable over the frame axis) with a weight converter from the
 HuggingFace torch checkpoint.
 """
 
+from video3d_tpu.models.crestereo import (
+    CREStereoConfig,
+    CREStereoLite,
+    load_crestereo_guidance,
+)
 from video3d_tpu.models.dpt import (
     DPTConfig,
     DPTDepthModel,
@@ -15,6 +20,9 @@ from video3d_tpu.models.dpt import (
 )
 
 __all__ = [
+    "CREStereoConfig",
+    "CREStereoLite",
+    "load_crestereo_guidance",
     "DPTConfig",
     "DPTDepthModel",
     "convert_torch_state_dict",

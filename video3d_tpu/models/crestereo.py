@@ -1,0 +1,248 @@
+"""CREStereo-style iterative stereo refinement network in Flax.
+
+The reference intended a CREStereo backend (its docstring depth.py:1 and
+README name CREStereo; the integration was gitignored and never shipped --
+SURVEY.md SS2.4-4, CREStereo_model.txt). This module provides that backend
+as a compact RAFT/CREStereo-style recurrent stereo network, TPU-first:
+
+* shared conv feature encoder at 1/4 resolution (NHWC, MXU convs);
+* 1-D correlation volume along the epipolar (width) axis built from
+  static shifts (no gathers), normalized by sqrt(C);
+* iterative ConvGRU updates: each step samples the correlation volume
+  around the current disparity with a differentiable one-hot/linear
+  interpolation contraction (again gather-free) and emits a disparity
+  delta -- the fixed iteration count unrolls under jit;
+* bilinear x4 upsampling back to full resolution.
+
+Unlike the DPT backend (monocular), this consumes BOTH eyes, so its
+output is a true disparity estimate; the depth stage blends it through
+the same 0.7/0.3 contract. Checkpoints save/load with orbax; a
+``train_step`` (sequence L1 loss with exponentially weighted iterations,
+as in RAFT) makes the model trainable on rendered stereo pairs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class CREStereoConfig:
+    feat_dim: int = 64
+    hidden_dim: int = 64
+    context_dim: int = 64
+    max_disparity: int = 64  # full-resolution disparity range
+    iters: int = 6
+    lookup_radius: int = 4
+
+    @classmethod
+    def tiny(cls) -> "CREStereoConfig":
+        return cls(feat_dim=16, hidden_dim=16, context_dim=16,
+                   max_disparity=16, iters=3, lookup_radius=2)
+
+
+class FeatureEncoder(nn.Module):
+    """1/4-resolution conv encoder (shared between eyes)."""
+
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(32, (7, 7), strides=(2, 2), padding=3, name="conv1")(x)
+        x = jax.nn.relu(x)
+        x = nn.Conv(48, (3, 3), padding=1, name="conv2")(x)
+        x = jax.nn.relu(x)
+        x = nn.Conv(64, (3, 3), strides=(2, 2), padding=1, name="conv3")(x)
+        x = jax.nn.relu(x)
+        x = nn.Conv(self.out_dim, (3, 3), padding=1, name="conv4")(x)
+        return x
+
+
+class ConvGRU(nn.Module):
+    hidden_dim: int
+
+    @nn.compact
+    def __call__(self, h, x):
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = jax.nn.sigmoid(nn.Conv(self.hidden_dim, (3, 3), padding=1,
+                                   name="convz")(hx))
+        r = jax.nn.sigmoid(nn.Conv(self.hidden_dim, (3, 3), padding=1,
+                                   name="convr")(hx))
+        q = jnp.tanh(
+            nn.Conv(self.hidden_dim, (3, 3), padding=1, name="convq")(
+                jnp.concatenate([r * h, x], axis=-1)
+            )
+        )
+        return (1.0 - z) * h + z * q
+
+
+def build_corr_volume(fl: jnp.ndarray, fr: jnp.ndarray, num_disp: int):
+    """1-D correlation along W: corr[..., x, d] = <fl(x), fr(x-d)> / sqrt(C).
+
+    Static-shift construction (gathers are TPU poison); out-of-frame
+    entries get a large negative score so lookups never prefer them.
+    """
+    b, h, w, c = fl.shape
+    scale = 1.0 / jnp.sqrt(jnp.float32(c))
+    xs = jnp.arange(w)
+    slices = []
+    for d in range(num_disp):
+        if d == 0:
+            fr_d = fr
+        else:
+            edge = jnp.repeat(fr[:, :, :1], d, axis=2)
+            fr_d = jnp.concatenate([edge, fr[:, :, :-d]], axis=2)
+        corr = jnp.sum(fl * fr_d, axis=-1) * scale
+        corr = jnp.where(xs[None, None, :] < d, -1e4, corr)
+        slices.append(corr)
+    return jnp.stack(slices, axis=-1)  # (B, h, w, D)
+
+
+def lookup_corr(corr: jnp.ndarray, disp: jnp.ndarray, radius: int):
+    """Sample corr at fractional ``disp`` +- radius, linearly interpolated.
+
+    Differentiable and gather-free: each tap is a one-hot contraction
+    over the (small, 1/4-res) disparity axis. corr (B, h, w, D),
+    disp (B, h, w) -> (B, h, w, 2*radius+1).
+    """
+    nd = corr.shape[-1]
+    d_iota = jax.lax.broadcasted_iota(jnp.int32, corr.shape, corr.ndim - 1)
+    taps = []
+    for j in range(-radius, radius + 1):
+        pos = jnp.clip(disp + j, 0.0, nd - 1.0)
+        lo = jnp.floor(pos)
+        frac = pos - lo
+        lo_i = lo.astype(jnp.int32)[..., None]
+        sel_lo = jnp.sum(jnp.where(d_iota == lo_i, corr, 0.0), axis=-1)
+        hi_i = jnp.minimum(lo_i + 1, nd - 1)
+        sel_hi = jnp.sum(jnp.where(d_iota == hi_i, corr, 0.0), axis=-1)
+        taps.append(sel_lo * (1.0 - frac) + sel_hi * frac)
+    return jnp.stack(taps, axis=-1)
+
+
+class CREStereoLite(nn.Module):
+    """Recurrent stereo matcher: (left, right) NHWC in [0, 255] -> disparity.
+
+    Returns full-resolution disparity (B, H, W) in pixels; with
+    ``all_iterations=True`` returns the per-iteration sequence for
+    training losses.
+    """
+
+    cfg: CREStereoConfig
+
+    @nn.compact
+    def __call__(self, left, right, all_iterations: bool = False):
+        c = self.cfg
+        x = jnp.concatenate([left, right], axis=0) / 127.5 - 1.0
+        feats = FeatureEncoder(c.feat_dim, name="fnet")(x)
+        fl, fr = jnp.split(feats, 2, axis=0)
+
+        ctx = FeatureEncoder(c.hidden_dim + c.context_dim, name="cnet")(
+            left / 127.5 - 1.0
+        )
+        hidden = jnp.tanh(ctx[..., : c.hidden_dim])
+        context = jax.nn.relu(ctx[..., c.hidden_dim:])
+
+        nd4 = max(2, c.max_disparity // 4)
+        corr = build_corr_volume(fl, fr, nd4)
+
+        b, h4, w4, _ = fl.shape
+        disp = jnp.zeros((b, h4, w4), jnp.float32)
+        gru = ConvGRU(c.hidden_dim, name="gru")
+        # modules are created once; iterations share their weights
+        menc = nn.Conv(c.context_dim, (3, 3), padding=1, name="menc")
+        head = nn.Conv(1, (3, 3), padding=1, name="head")
+        outputs = []
+        for _ in range(c.iters):
+            corr_feat = lookup_corr(corr, disp, c.lookup_radius)
+            motion = jnp.concatenate([corr_feat, disp[..., None]], axis=-1)
+            motion = jax.nn.relu(menc(motion))
+            hidden = gru(hidden, jnp.concatenate([motion, context], axis=-1))
+            delta = head(hidden)[..., 0]
+            disp = disp + delta
+            outputs.append(disp)
+
+        from video3d_tpu.ops.image import resize2d
+
+        h, w = left.shape[1], left.shape[2]
+        ups = [
+            jnp.maximum(resize2d(d, h, w, method="bilinear") * 4.0, 0.0)
+            for d in (outputs if all_iterations else outputs[-1:])
+        ]
+        return ups if all_iterations else ups[0]
+
+
+# ---------------------------------------------------------------------------
+# training / checkpointing / guidance entry
+# ---------------------------------------------------------------------------
+
+
+def sequence_loss(disp_seq: Sequence[jnp.ndarray], gt: jnp.ndarray,
+                  valid: jnp.ndarray, gamma: float = 0.9) -> jnp.ndarray:
+    """Exponentially weighted L1 over refinement iterations (RAFT-style)."""
+    n = len(disp_seq)
+    total = 0.0
+    denom = jnp.maximum(jnp.sum(valid), 1.0)
+    for i, d in enumerate(disp_seq):
+        weight = gamma ** (n - 1 - i)
+        total = total + weight * jnp.sum(jnp.abs(d - gt) * valid) / denom
+    return total
+
+
+@partial(jax.jit, static_argnames=("model", "tx"))
+def train_step(model: CREStereoLite, tx, params, opt_state, left, right,
+               gt_disp, valid):
+    """One optimizer step on a stereo batch; returns (params, opt, loss)."""
+
+    def loss_fn(p):
+        seq = model.apply(p, left, right, all_iterations=True)
+        return sequence_loss(seq, gt_disp, valid)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = jax.tree.map(lambda a, u: a + u, params, updates)
+    return params, opt_state, loss
+
+
+def save_checkpoint(path: str, params) -> None:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, params, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_checkpoint(path: str):
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(path)
+
+
+def load_crestereo_guidance(checkpoint: str,
+                            cfg: CREStereoConfig = CREStereoConfig()):
+    """Guidance fn for the depth stage: blends a learned full-range
+    disparity estimate. ``checkpoint`` is an orbax directory saved by
+    :func:`save_checkpoint`; raises if absent (stage degrades to
+    stereo-only, reference depth.py:107-114 contract)."""
+    import os
+
+    if not os.path.isdir(checkpoint):
+        raise FileNotFoundError(
+            f"CREStereo checkpoint not found: {checkpoint} (train one with "
+            "models.crestereo.train_step + save_checkpoint)"
+        )
+    params = load_checkpoint(checkpoint)
+    model = CREStereoLite(cfg)
+
+    def guidance(left_rgb: jnp.ndarray, right_rgb: jnp.ndarray) -> jnp.ndarray:
+        return model.apply(params, left_rgb, right_rgb)
+
+    guidance.stereo = True  # consumes both eyes (see stages/depth.py)
+    return guidance

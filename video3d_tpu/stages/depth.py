@@ -1,7 +1,7 @@
 """Hybrid stereo depth extraction stage (reference: depth.py:20-476).
 
 One canonically named extractor with pluggable guidance backends
-(``guidance='none'|'dpt'``), resolving the reference's broken
+(``guidance='none'|'dpt'|'crestereo'``), resolving the reference's broken
 ``IGEVStereoDepthExtractor`` import (SURVEY.md SS2.4-1/4).
 
 TPU-first design: the whole per-batch pipeline -- SBS split, Lanczos
@@ -93,13 +93,18 @@ def depth_batch_pipeline(
     disp = sgbm_disparity(gl, gr, params, apply_speckle=apply_speckle)
 
     if guidance_fn is not None:
-        mono = guidance_fn(left)  # (B, H, W') relative depth
-        # normalize mono to [0, num_disparities] per frame (depth.py:358-360)
-        mmin = jnp.min(mono, axis=(-2, -1), keepdims=True)
-        mmax = jnp.max(mono, axis=(-2, -1), keepdims=True)
-        mono = (mono - mmin) / jnp.maximum(mmax - mmin, 1e-6)
-        mono = mono * float(params.num_disparities)
-        disp = STEREO_WEIGHT * disp + MONO_WEIGHT * mono
+        if getattr(guidance_fn, "stereo", False):
+            # stereo guidance (e.g. CREStereo) predicts true disparity in
+            # pixels from both eyes; blend directly
+            guide = guidance_fn(left, right)
+        else:
+            mono = guidance_fn(left)  # (B, H, W') relative depth
+            # normalize to [0, num_disparities] per frame (depth.py:358-360)
+            mmin = jnp.min(mono, axis=(-2, -1), keepdims=True)
+            mmax = jnp.max(mono, axis=(-2, -1), keepdims=True)
+            mono = (mono - mmin) / jnp.maximum(mmax - mmin, 1e-6)
+            guide = mono * float(params.num_disparities)
+        disp = STEREO_WEIGHT * disp + MONO_WEIGHT * guide
 
     disp = jnp.maximum(disp, 0.0)  # clamp invalid/negative (depth.py:374)
 
@@ -165,6 +170,14 @@ class StereoDepthExtractor:
                 from video3d_tpu.models.dpt import load_dpt_guidance
 
                 self._guidance_fn = load_dpt_guidance(self.model_checkpoint)
+            elif self.guidance == "crestereo":
+                from video3d_tpu.models.crestereo import (
+                    load_crestereo_guidance,
+                )
+
+                self._guidance_fn = load_crestereo_guidance(
+                    self.model_checkpoint
+                )
             else:
                 raise ValueError(f"Unknown guidance backend: {self.guidance}")
             print(f"Guidance model loaded: {self.guidance}")
