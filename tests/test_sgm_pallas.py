@@ -60,6 +60,23 @@ def test_dmajor_cost_volume_and_box_match():
     )
 
 
+def test_fused_cost_volume_matches_xla():
+    """Pallas BT+box kernel == bt_cost_volume_dmajor + box_aggregate_hw."""
+    from video3d_tpu.kernels.costvol import fused_cost_volume
+    from video3d_tpu.ops.stereo import BIG
+
+    r = np.random.default_rng(5)
+    left = jnp.asarray(r.uniform(0, 62, (2, 16, 32)).astype(np.float32))
+    right = jnp.asarray(r.uniform(0, 62, (2, 16, 32)).astype(np.float32))
+    ref = jnp.minimum(box_aggregate_hw(bt_cost_volume_dmajor(left, right, 8), 5), BIG)
+    out = fused_cost_volume(left, right, 8, 5, out_dtype=jnp.float32,
+                            interpret=True)
+    mask = np.asarray(ref) < BIG / 2
+    err = np.abs(np.asarray(out) - np.asarray(ref))
+    assert err[mask].max() < 1e-2
+    assert ((np.asarray(out) > BIG / 2) == ~mask).all()
+
+
 def test_fused_final_wta_matches_unfused():
     """sgm_wta_pallas_dmajor == aggregate + wta_disparity_dmajor."""
     from video3d_tpu.kernels.sgm import sgm_wta_pallas_dmajor

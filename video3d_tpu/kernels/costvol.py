@@ -1,0 +1,169 @@
+"""Pallas TPU kernel: fused BT cost volume + SAD box aggregation.
+
+Builds the box-aggregated Birchfield-Tomasi cost volume straight from the
+prefiltered gray pair in one sweep -- the raw per-pixel cost volume never
+exists in HBM (in XLA the two stages cost ~10 ms/frame at 1080p and
+materialize an extra 265 MB bf16 volume).
+
+Shape contract: gray in (B, H, W) f32 -> cost out (B, H, D, W) bf16,
+identical (to bf16 rounding) to
+``box_aggregate_hw(bt_cost_volume_dmajor(l, r, D), block) `` clamped to
+BIG, as consumed by the SGM kernels.
+
+Mechanics per grid step (one image row y, block-batched over frames):
+
+* compute the raw BT cost row (D, W): the left/right rows and their BT
+  half-sample envelopes enter as (1, W) tiles; the 64 disparity shifts
+  are lane rolls masked with BIG on the out-of-frame strip, stacked along
+  sublanes;
+* push it into a 5-deep VMEM ring buffer and update the running vertical
+  sum (add newest, subtract oldest) -- rows outside the image contribute
+  the zero padding of ``reduce_window``;
+* the horizontal 5-tap sum is 4 shifted adds (lane rolls, zero-masked at
+  edges) on the vertical sum; emitted for output row y - 2.
+
+The grid runs H + 2*pad steps so the last rows flush out of the ring.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BIG = 1e9
+
+
+def _bt_envelope(row: jnp.ndarray):
+    """Half-sample min/max envelopes along W of a (BB, 1, W) row.
+
+    Edge clamping via iota masks (Mosaic cannot concat lane slices at
+    unaligned offsets).
+    """
+    w = row.shape[2]
+    cols = jax.lax.broadcasted_iota(jnp.int32, row.shape, 2)
+    prev = jnp.where(cols == 0, row, pltpu.roll(row, 1, axis=2))
+    nxt = jnp.where(cols == w - 1, row, pltpu.roll(row, w - 1, axis=2))
+    mid_l = 0.5 * (row + prev)
+    mid_r = 0.5 * (row + nxt)
+    lo = jnp.minimum(jnp.minimum(mid_l, mid_r), row)
+    hi = jnp.maximum(jnp.maximum(mid_l, mid_r), row)
+    return lo, hi
+
+
+def _cost_kernel(
+    left_ref,
+    right_ref,
+    out_ref,
+    ring_ref,
+    vsum_ref,
+    *,
+    num_disp: int,
+    pad: int,
+    h: int,
+):
+    """Blocks: left/right (BB, 1, W); out (BB, 1, D, W).
+
+    Grid is (B/BB, H + 2*pad); step y computes raw row y and emits output
+    row y - pad once the window is full.
+    """
+    y = pl.program_id(1)
+    ring_slots = 2 * pad + 1
+
+    @pl.when(y == 0)
+    def _():
+        ring_ref[...] = jnp.zeros_like(ring_ref)
+        vsum_ref[...] = jnp.zeros_like(vsum_ref)
+
+    l_row = left_ref[:, 0]  # block (BB, 1, 1, W) -> (BB, 1, W)
+    r_row = right_ref[:, 0]
+    bb, _, w = l_row.shape
+
+    # raw BT cost row (BB, D, W); rows beyond the image contribute zeros
+    l_lo, l_hi = _bt_envelope(l_row)
+    r_lo, r_hi = _bt_envelope(r_row)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (bb, 1, w), 2)
+    pieces = []
+    for d in range(num_disp):
+        if d == 0:
+            r_d, rlo_d, rhi_d = r_row, r_lo, r_hi
+        else:
+            r_d = pltpu.roll(r_row, d, axis=2)
+            rlo_d = pltpu.roll(r_lo, d, axis=2)
+            rhi_d = pltpu.roll(r_hi, d, axis=2)
+        d_lr = jnp.maximum(0.0, jnp.maximum(l_row - rhi_d, rlo_d - l_row))
+        d_rl = jnp.maximum(0.0, jnp.maximum(r_d - l_hi, l_lo - r_d))
+        cost = jnp.minimum(d_lr, d_rl)
+        cost = jnp.where(cols < d, BIG, cost)
+        pieces.append(cost)
+    raw = jnp.concatenate(pieces, axis=1)  # (BB, D, W)
+    raw = jnp.where(y < h, raw, jnp.zeros_like(raw))
+
+    # ring update: vertical running sum over the last (2*pad+1) rows
+    slot = jax.lax.rem(y, ring_slots)
+    oldest = ring_ref[slot]
+    vsum = vsum_ref[...] + raw - oldest
+    vsum_ref[...] = vsum
+    ring_ref[slot] = raw
+
+    # horizontal 5-tap: shifted adds with zero edge masking. Emission
+    # starts at y == pad: the top rows' windows are correct because
+    # missing rows above the image contributed zeros to vsum.
+    @pl.when(y >= pad)
+    def _():
+        wcols = jax.lax.broadcasted_iota(jnp.int32, vsum.shape, 2)
+        total = vsum
+        for dx in range(1, pad + 1):
+            left_sh = pltpu.roll(vsum, dx, axis=2)  # value from x - dx
+            total = total + jnp.where(wcols < dx, 0.0, left_sh)
+            right_sh = pltpu.roll(vsum, w - dx, axis=2)  # from x + dx
+            total = total + jnp.where(wcols >= w - dx, 0.0, right_sh)
+        out_ref[:, 0] = jnp.minimum(total, BIG).astype(out_ref.dtype)
+
+
+def fused_cost_volume(
+    left_gray: jnp.ndarray,
+    right_gray: jnp.ndarray,
+    num_disp: int,
+    block_size: int = 5,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """(B, H, W) f32 pair -> (B, H, D, W) box-aggregated BT cost volume."""
+    b, h, w = left_gray.shape
+    pad = block_size // 2
+    steps = h + pad  # rows [pad, h+pad) emit output rows [0, h)
+
+    # gray as (B, H, 1, W) so row blocks are (bb, 1, 1, w): the block's
+    # last two dims (1, w) span their array dims (Mosaic block rule)
+    left_gray = left_gray[:, :, None, :]
+    right_gray = right_gray[:, :, None, :]
+    row_map = lambda i, y: (i, jnp.minimum(y, h - 1), 0, 0)
+    out_map = lambda i, y: (i, jnp.maximum(y - pad, 0), 0, 0)
+    # block-batch frames while VMEM stays comfortable
+    per_frame = (2 * (2 * pad + 2)) * 4 * num_disp * w  # ring+vsum+blocks
+    bb = 1
+    while bb * 2 <= b and b % (bb * 2) == 0 and per_frame * bb * 2 < 10 * 2**20:
+        bb *= 2
+    gray_spec = pl.BlockSpec((bb, 1, 1, w), row_map, memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec(
+        (bb, 1, num_disp, w), out_map, memory_space=pltpu.VMEM
+    )
+    kernel = functools.partial(
+        _cost_kernel, num_disp=num_disp, pad=pad, h=h
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bb, steps),
+        in_specs=[gray_spec, gray_spec],
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, num_disp, w), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((2 * pad + 1, bb, num_disp, w), jnp.float32),
+            pltpu.VMEM((bb, num_disp, w), jnp.float32),
+        ],
+        interpret=interpret,
+    )(left_gray, right_gray)

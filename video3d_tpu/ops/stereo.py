@@ -491,13 +491,21 @@ def sgbm_disparity(
         # costs <= ~4k, so bf16's ~0.4% relative error is far below the
         # P1=600 smoothness scale) and the Pallas SGM kernel with f32
         # accumulation.
+        from video3d_tpu.kernels.costvol import fused_cost_volume
         from video3d_tpu.kernels.sgm import sgm_wta_pallas_dmajor
 
-        cost = bt_cost_volume_dmajor(
-            lf, rf, params.num_disparities, params.min_disparity
-        )
-        cost = box_aggregate_hw(cost, params.block_size)
-        cost = jnp.minimum(cost, BIG).astype(jnp.bfloat16)
+        if params.min_disparity == 0:
+            # fused Pallas kernel: BT cost + box window in one sweep, raw
+            # volume never materialized (~10 ms/frame saved at 1080p)
+            cost = fused_cost_volume(
+                lf, rf, params.num_disparities, params.block_size
+            )
+        else:
+            cost = bt_cost_volume_dmajor(
+                lf, rf, params.num_disparities, params.min_disparity
+            )
+            cost = box_aggregate_hw(cost, params.block_size)
+            cost = jnp.minimum(cost, BIG).astype(jnp.bfloat16)
         disp = sgm_wta_pallas_dmajor(cost, params)
     else:
         cost = bt_cost_volume(
