@@ -15,6 +15,8 @@ __all__ = [
     "AlignedExtractor",
     "run_pipeline",
     "get_video_info",
+    "extract_audio",
+    "verify_video_compatibility",
     "load_alignment_data",
     "apply_offset_to_pipeline",
 ]
@@ -28,6 +30,8 @@ _LAZY = {
     "AlignedExtractor": "video3d_tpu.stages.extract",
     "run_pipeline": "video3d_tpu.stages.pipeline",
     "get_video_info": "video3d_tpu.core.probe",
+    "extract_audio": "video3d_tpu.core.audio",
+    "verify_video_compatibility": "video3d_tpu.core.probe",
 }
 
 

@@ -82,22 +82,39 @@ def _cost_kernel(
     r_row = right_ref[:, 0]
     bb, _, w = l_row.shape
 
-    # raw BT cost row (BB, D, W); rows beyond the image contribute zeros
+    # raw BT cost row (BB, D, W); rows beyond the image contribute zeros.
+    # Built in sublane-full (BB, 8, W) tiles: 8 pre-shifted copies of the
+    # right row stacked on sublanes, then whole-tile lane rolls of 8 give
+    # shifts 8j..8j+7 per tile -- 8+D/8 rolls on full tiles instead of D
+    # rolls on 1-sublane rows (which left 7/8 of the VPU idle).
     l_lo, l_hi = _bt_envelope(l_row)
     r_lo, r_hi = _bt_envelope(r_row)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (bb, 1, w), 2)
+    sub = 8
+    assert num_disp % sub == 0
+
+    def stack8(row):  # (BB, 1, W) -> (BB, 8, W) with row k shifted by k
+        return jnp.concatenate(
+            [row if k == 0 else pltpu.roll(row, k, axis=2) for k in range(sub)],
+            axis=1,
+        )
+
+    r_base = stack8(r_row)
+    rlo_base = stack8(r_lo)
+    rhi_base = stack8(r_hi)
+    d_iota8 = jax.lax.broadcasted_iota(jnp.int32, (bb, sub, w), 1)
+    cols8 = jax.lax.broadcasted_iota(jnp.int32, (bb, sub, w), 2)
     pieces = []
-    for d in range(num_disp):
-        if d == 0:
-            r_d, rlo_d, rhi_d = r_row, r_lo, r_hi
+    for j in range(num_disp // sub):
+        if j == 0:
+            r_d, rlo_d, rhi_d = r_base, rlo_base, rhi_base
         else:
-            r_d = pltpu.roll(r_row, d, axis=2)
-            rlo_d = pltpu.roll(r_lo, d, axis=2)
-            rhi_d = pltpu.roll(r_hi, d, axis=2)
+            r_d = pltpu.roll(r_base, sub * j, axis=2)
+            rlo_d = pltpu.roll(rlo_base, sub * j, axis=2)
+            rhi_d = pltpu.roll(rhi_base, sub * j, axis=2)
         d_lr = jnp.maximum(0.0, jnp.maximum(l_row - rhi_d, rlo_d - l_row))
         d_rl = jnp.maximum(0.0, jnp.maximum(r_d - l_hi, l_lo - r_d))
         cost = jnp.minimum(d_lr, d_rl)
-        cost = jnp.where(cols < d, BIG, cost)
+        cost = jnp.where(cols8 < d_iota8 + sub * j, BIG, cost)
         pieces.append(cost)
     raw = jnp.concatenate(pieces, axis=1)  # (BB, D, W)
     raw = jnp.where(y < h, raw, jnp.zeros_like(raw))

@@ -226,7 +226,7 @@ def _directional_pass_dmajor(
     b, h, d, w = cost.shape
     # pick (block-batch, rows-per-step) to fill the VMEM budget: carry is
     # len(shifts)*bb*d*w f32; cost/acc/out blocks are double-buffered
-    budget = 11 * 2**20
+    budget = 13 * 2**20
 
     def vmem(bb, rps):
         return (
@@ -429,8 +429,9 @@ def sgm_wta_pallas_dmajor(
         return wta_disparity_dmajor(acc, params)
     acc = _directional_pass_dmajor(cost, acc, shifts, p1, p2, False, interpret)
 
-    # final reverse pass fused with WTA
-    budget = 11 * 2**20
+    # final reverse pass fused with WTA (tighter budget: the in-kernel
+    # WTA needs scratch headroom for its temporaries)
+    budget = 9 * 2**20
 
     def vmem(bb, rps):
         return (
