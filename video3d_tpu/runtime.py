@@ -26,6 +26,15 @@ _DEFAULT_CACHE = os.path.join(
 def enable_compilation_cache() -> None:
     if jax.config.jax_compilation_cache_dir:  # user already configured it
         return
+    try:
+        backend = jax.default_backend()
+    except Exception:
+        return
+    if backend == "cpu":
+        # CPU executables are AOT-compiled for exact machine features; a
+        # cache shared across heterogeneous hosts risks SIGILL. The CPU
+        # path is tests/dryruns where compiles are cheap anyway.
+        return
     cache_dir = os.environ.get(_CACHE_ENV, _DEFAULT_CACHE)
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
