@@ -1,0 +1,166 @@
+"""CLI: train the CREStereo-lite guidance model.
+
+The reference shipped no trainable models (its CREStereo integration was
+gitignored, SURVEY.md SS2.4-4); this tool closes the loop: it trains
+:class:`video3d_tpu.models.crestereo.CREStereoLite` either on
+
+* **self-training data from an SBS video** -- crops of real left/right
+  eye pairs, pseudo-labeled by the classical SGM matcher (valid pixels
+  only), so a checkpoint can be bootstrapped from the same footage the
+  pipeline will process; or
+* **synthetic stereo** (``--synthetic``) -- random smooth textures with
+  known planar shifts and exact ground truth.
+
+Checkpoints save with orbax and plug straight into
+``video-3d-depth --guidance crestereo --model <ckpt>``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def synthetic_batch(rng: np.random.Generator, batch: int, h: int, w: int,
+                    max_shift: int):
+    """Random smooth textures with a known constant disparity per sample."""
+    import scipy.ndimage as ndi
+
+    lefts, rights, gts = [], [], []
+    for _ in range(batch):
+        shift = int(rng.integers(1, max_shift))
+        base = rng.uniform(0, 255, (h, w + shift)).astype(np.float32)
+        base = ndi.gaussian_filter(base, rng.uniform(1.0, 2.5))
+        base = (base - base.min()) / (np.ptp(base) + 1e-6) * 255
+        lefts.append(base[:, :w])
+        rights.append(base[:, shift : shift + w])
+        gts.append(np.full((h, w), float(shift), np.float32))
+    rgb = lambda g: np.repeat(np.stack(g)[..., None], 3, axis=-1)
+    return rgb(lefts), rgb(rights), np.stack(gts), np.ones((batch, h, w), np.float32)
+
+
+def video_batch(frames_iter, rng, batch, crop_h, crop_w, sgm_params):
+    """Sample eye-pair crops from SBS frames, pseudo-label with SGM."""
+    import jax.numpy as jnp
+
+    from video3d_tpu.ops.image import rgb_to_gray, split_sbs, unsqueeze_width
+    from video3d_tpu.ops.stereo import sgbm_disparity
+
+    lefts, rights = [], []
+    while len(lefts) < batch:
+        frame = next(frames_iter)  # (H, W, 3) uint8
+        l, r = split_sbs(jnp.asarray(frame.astype(np.float32)))
+        l = jnp.moveaxis(unsqueeze_width(jnp.moveaxis(l, -1, 0)), 0, -1)
+        r = jnp.moveaxis(unsqueeze_width(jnp.moveaxis(r, -1, 0)), 0, -1)
+        h, w = l.shape[0], l.shape[1]
+        y0 = int(rng.integers(0, max(h - crop_h, 1)))
+        x0 = int(rng.integers(0, max(w - crop_w, 1)))
+        lefts.append(np.asarray(l[y0 : y0 + crop_h, x0 : x0 + crop_w]))
+        rights.append(np.asarray(r[y0 : y0 + crop_h, x0 : x0 + crop_w]))
+    left = np.stack(lefts)
+    right = np.stack(rights)
+    gl = rgb_to_gray(jnp.asarray(left))
+    gr = rgb_to_gray(jnp.asarray(right))
+    disp = np.asarray(sgbm_disparity(gl, gr, sgm_params, apply_speckle=True))
+    valid = (disp >= 0).astype(np.float32)
+    gt = np.maximum(disp, 0.0)
+    return left, right, gt, valid
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="video-3d-train-crestereo",
+        description="Train the CREStereo-lite guidance model",
+    )
+    p.add_argument("--video", default=None,
+                   help="SBS video for self-training (pseudo-labels from SGM)")
+    p.add_argument("--synthetic", action="store_true",
+                   help="Train on synthetic textures with exact ground truth")
+    p.add_argument("--out", default="crestereo_ckpt",
+                   help="Checkpoint output directory (orbax)")
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--crop", type=int, nargs=2, default=(128, 256),
+                   metavar=("H", "W"))
+    p.add_argument("--lr", type=float, default=2e-4)
+    p.add_argument("--iters", type=int, default=6,
+                   help="GRU refinement iterations")
+    p.add_argument("--max-disparity", type=int, default=64)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log-every", type=int, default=10)
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    if not args.synthetic and not args.video:
+        print("Provide --video for self-training or --synthetic")
+        return 1
+
+    import jax
+    import optax
+
+    from video3d_tpu.models.crestereo import (
+        CREStereoConfig,
+        CREStereoLite,
+        save_checkpoint,
+        train_step,
+    )
+    from video3d_tpu.ops.stereo import SGBMParams
+
+    rng = np.random.default_rng(args.seed)
+    h, w = args.crop
+    cfg = CREStereoConfig(iters=args.iters, max_disparity=args.max_disparity)
+    model = CREStereoLite(cfg)
+
+    if args.video:
+        from video3d_tpu.core import VideoReader
+
+        def frame_gen():
+            while True:  # loop over the clip
+                for f in VideoReader(args.video, batch_size=1).frames():
+                    yield f
+
+        frames_iter = frame_gen()
+        sgm_params = SGBMParams(num_disparities=args.max_disparity)
+
+        def next_batch():
+            return video_batch(frames_iter, rng, args.batch_size, h, w,
+                               sgm_params)
+    else:
+        def next_batch():
+            return synthetic_batch(rng, args.batch_size, h, w,
+                                   min(args.max_disparity, w // 4))
+
+    left, right, gt, valid = next_batch()
+    params = model.init(jax.random.key(args.seed), left, right)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    print(f"CREStereo-lite: {n_params/1e6:.2f} M params, "
+          f"crop {h}x{w}, batch {args.batch_size}")
+    tx = optax.adam(args.lr)
+    opt_state = tx.init(params)
+
+    t0 = time.time()
+    for step in range(1, args.steps + 1):
+        params, opt_state, loss = train_step(
+            model, tx, params, opt_state, left, right, gt, valid
+        )
+        if step % args.log_every == 0 or step == args.steps:
+            print(f"step {step:5d}  loss {float(loss):9.4f}  "
+                  f"({step / (time.time() - t0):.2f} steps/s)")
+        left, right, gt, valid = next_batch()
+
+    out = str(Path(args.out).resolve())
+    save_checkpoint(out, params)
+    print(f"Checkpoint saved: {out}")
+    print(f"Use it with: video-3d-depth <video> --guidance crestereo "
+          f"--model {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
