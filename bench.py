@@ -31,7 +31,7 @@ def main() -> None:
 
     # 1080p SBS: 1920x1080 frame, two 960-wide eyes unsqueezed to 1920.
     h, w = 1080, 1920
-    batch = 4  # block-batched SGM passes amortize per-scanline overhead
+    batch = 8  # block-batched SGM passes amortize per-scanline overhead
     rng = np.random.default_rng(0)
     frames = rng.integers(0, 255, size=(batch, h, w, 3), dtype=np.uint8)
 
