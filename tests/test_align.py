@@ -68,6 +68,24 @@ def test_calculate_audio_correlation_identical(rng):
     assert calculate_audio_correlation(x, x) == pytest.approx(1.0, abs=1e-3)
 
 
+def test_plot_audio_correlation_renders(tmp_path, rng):
+    """4-panel sync-analysis PNG (reference utils.py:168-225)."""
+    from video3d_tpu.ops.correlate import cross_correlate_full, znormalize
+    from video3d_tpu.utils.viz import plot_audio_correlation
+
+    sr = 4000
+    a1 = rng.normal(size=sr).astype("float32")
+    a2 = rng.normal(size=sr).astype("float32")
+    import jax.numpy as jnp
+
+    corr = cross_correlate_full(znormalize(jnp.asarray(a2)),
+                                znormalize(jnp.asarray(a1)))
+    out = plot_audio_correlation(a1, a2, sr, 0.1, tmp_path, correlation=corr)
+    import numpy as np
+
+    assert out.exists() and out.stat().st_size > 10000
+
+
 def test_video_aligner_e2e_on_wavs(tmp_path, rng):
     """Full stage on WAV inputs (the ffmpeg-less path): recovers the offset,
     writes the reference-schema JSON artifact and the sync plot."""

@@ -79,6 +79,26 @@ def test_depth_stage_artifacts_and_values(tmp_path):
     assert files[0].stat().st_mtime == mtime
 
 
+def test_guidance_load_failure_degrades_to_stereo_only(tmp_path):
+    """Reference contract depth.py:107-114: any guidance-load failure
+    silently (with a warning) flips to stereo-only processing."""
+    ext = StereoDepthExtractor(
+        work_dir=str(tmp_path), guidance="dpt",
+        model_checkpoint="definitely/not-a-local-model",
+    )
+    ext.load_model()
+    assert ext.guidance == "none"
+    assert ext.model_checkpoint == "stereo_only"
+    assert ext._guidance_fn is None
+
+    ext2 = StereoDepthExtractor(
+        work_dir=str(tmp_path), guidance="crestereo",
+        model_checkpoint=str(tmp_path / "missing_ckpt"),
+    )
+    ext2.load_model()
+    assert ext2.guidance == "none"
+
+
 def test_per_frame_normalization_parity_mode():
     """normalize='per_frame' reproduces reference depth.py:399-404."""
     rng = np.random.default_rng(0)
