@@ -325,6 +325,16 @@ class StereoDepthExtractor:
 
             smoother = TemporalMedianStream()
         with DepthMapWriter(cache) as writer:
+            # one batch in flight: the previous batch's device->host
+            # readback (+ PNG encode scheduling) overlaps the current
+            # batch's device compute -- decode thread / TPU / readback /
+            # PNG pool form a 4-stage pipeline
+            pending = None  # (device_array, start_index, valid)
+
+            def drain(p):
+                arr, start, n_valid = p
+                writer.put(np.asarray(arr), start, n_valid)
+
             for frames, valid in reader:
                 depth = depth_batch_pipeline(
                     jnp.asarray(frames),
@@ -333,14 +343,18 @@ class StereoDepthExtractor:
                     normalize=self.normalize,
                     apply_speckle=self.apply_speckle,
                     guidance_fn=self._guidance_fn,
-                )
+                )  # async dispatch; do host work before blocking on it
                 if smoother is not None:
                     out = smoother.push(depth[:valid])
                     if out is not None:
-                        writer.put(np.asarray(out), written, out.shape[0])
+                        if pending is not None:
+                            drain(pending)
+                        pending = (out, written, out.shape[0])
                         written += out.shape[0]
                 else:
-                    writer.put(np.asarray(depth), index_offset + done, valid)
+                    if pending is not None:
+                        drain(pending)
+                    pending = (depth, index_offset + done, valid)
                 done += valid
                 if done % 100 < valid:
                     dt = time.time() - t0
@@ -348,7 +362,11 @@ class StereoDepthExtractor:
             if smoother is not None:
                 out = smoother.flush()
                 if out is not None:
-                    writer.put(np.asarray(out), written, out.shape[0])
+                    if pending is not None:
+                        drain(pending)
+                    pending = (out, written, out.shape[0])
+            if pending is not None:
+                drain(pending)
         dt = time.time() - t0
         print(
             f"Depth extraction done: {done} frames in {dt:.1f}s "
