@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Any, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -24,7 +24,7 @@ tiny randomly-initialized torch ``DPTForDepthEstimation``
 from __future__ import annotations
 
 import dataclasses
-from functools import lru_cache, partial
+from functools import lru_cache
 from typing import Any, Dict, List, Sequence
 
 import jax

@@ -18,10 +18,10 @@ from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh
 
 from video3d_tpu.ops.stereo import SGBMParams
-from video3d_tpu.parallel.mesh import FRAMES_AXIS, frames_mesh, shard_frames
+from video3d_tpu.parallel.mesh import frames_mesh, shard_frames
 from video3d_tpu.parallel.temporal import temporal_median3
 from video3d_tpu.stages.depth import depth_batch_pipeline
 

@@ -12,11 +12,9 @@ ring/blockwise context parallelism (SURVEY.md SS5-7).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from video3d_tpu.parallel.mesh import FRAMES_AXIS
 

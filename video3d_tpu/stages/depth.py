@@ -39,11 +39,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from video3d_tpu.core import DepthMapWriter, VideoReader, get_video_info
-from video3d_tpu.core.cache import (
-    create_work_directory,
-    depth_cache_dir,
-    is_depth_cached,
-)
+from video3d_tpu.core.cache import create_work_directory, depth_cache_dir
 from video3d_tpu.ops.image import rgb_to_gray, split_sbs, unsqueeze_width
 from video3d_tpu.ops.stereo import SGBMParams, sgbm_disparity
 
