@@ -59,6 +59,9 @@ def build_parser() -> argparse.ArgumentParser:
                    "--multihost runs (host:port)")
     p.add_argument("--num-processes", type=int, default=None)
     p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--profile-dir", default=None,
+                   help="Write a jax.profiler trace (TensorBoard format) "
+                   "of the run to this directory")
     return p
 
 
@@ -80,20 +83,23 @@ def main(argv=None) -> int:
         apply_speckle=not args.no_speckle,
         temporal_median=args.temporal_median,
     )
-    if args.multihost:
-        from video3d_tpu.parallel.multihost import initialize
+    from video3d_tpu.utils.profiling import trace
 
-        initialize(args.coordinator, args.num_processes, args.process_id)
-        cache = extractor.process_video_sbs_sharded(
-            args.video, max_frames=args.max_frames, force=args.force
-        )
-    else:
-        cache = extractor.process_video_sbs(
-            args.video,
-            start_frame=args.start_frame,
-            max_frames=args.max_frames,
-            force=args.force,
-        )
+    with trace(args.profile_dir):
+        if args.multihost:
+            from video3d_tpu.parallel.multihost import initialize
+
+            initialize(args.coordinator, args.num_processes, args.process_id)
+            cache = extractor.process_video_sbs_sharded(
+                args.video, max_frames=args.max_frames, force=args.force
+            )
+        else:
+            cache = extractor.process_video_sbs(
+                args.video,
+                start_frame=args.start_frame,
+                max_frames=args.max_frames,
+                force=args.force,
+            )
     print(f"Depth maps: {cache}")
     return 0
 
