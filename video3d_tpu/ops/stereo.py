@@ -494,7 +494,7 @@ def sgbm_disparity(
         from video3d_tpu.kernels.costvol import fused_cost_volume
         from video3d_tpu.kernels.sgm import sgm_wta_pallas_dmajor
 
-        if params.min_disparity == 0:
+        if params.min_disparity == 0 and params.num_disparities % 8 == 0:
             # fused Pallas kernel: BT cost + box window in one sweep, raw
             # volume never materialized (~10 ms/frame saved at 1080p)
             cost = fused_cost_volume(
