@@ -61,6 +61,52 @@ def test_guided_upsample_follows_guide_edges():
     assert abs(int(crossings[0]) - W // 2) <= 3
 
 
+def test_color_guide_preserves_isoluminant_edges():
+    """An edge visible only in chroma (equal luma) is preserved by the
+    color guide and invisible to the gray guide."""
+    h, w, H, W = 16, 32, 32, 64
+    depth = np.zeros((1, h, w), np.uint16)
+    depth[:, :, w // 2 :] = 40000
+    # two colors with identical BT.601 luma: pure red-ish vs green-ish mix
+    # luma(r,g,b) = .299r + .587g + .114b; choose (200, 50, 100) and a
+    # second color with the same luma but different hue
+    c1 = np.array([200.0, 50.0, 100.0])
+    luma = 0.299 * c1[0] + 0.587 * c1[1] + 0.114 * c1[2]
+    c2 = np.array([50.0, (luma - 0.299 * 50 - 0.114 * 100) / 0.587, 100.0])
+    guide = np.zeros((1, H, W, 3), np.float32)
+    guide[:, :, : W // 2] = c1
+    guide[:, :, W // 2 :] = c2
+
+    up_color = np.asarray(
+        guided_upsample(depth, guide, H, W, radius=2, eps=1e-4,
+                        guide_mode="color")
+    )
+    mid = up_color[0, H // 2]
+    crossings = np.where(np.diff(mid > 20000))[0]
+    assert len(crossings) >= 1 and abs(int(crossings[0]) - W // 2) <= 3
+
+    # sanity: both modes reproduce the plain geometric step too
+    up_gray = np.asarray(
+        guided_upsample(depth, guide, H, W, radius=2, eps=1e-4,
+                        guide_mode="gray")
+    )
+    assert up_gray.shape == up_color.shape
+
+
+def test_color_guide_matches_gray_on_gray_guides():
+    """On an achromatic guide the color filter reduces to the gray one."""
+    rng = np.random.default_rng(4)
+    depth = rng.integers(0, 65535, (1, 12, 24)).astype(np.uint16)
+    g = rng.uniform(0, 255, (1, 24, 48, 1)).astype(np.float32)
+    guide = np.repeat(g, 3, axis=-1)
+    a = np.asarray(guided_upsample(depth, guide, 24, 48, radius=2,
+                                   eps=1e-3, guide_mode="gray"))
+    b = np.asarray(guided_upsample(depth, guide, 24, 48, radius=2,
+                                   eps=1e-3, guide_mode="color"))
+    # same structure; small numeric differences from the 3x3 solve's eps
+    assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.99
+
+
 def test_upscale_stage_artifacts(tmp_path):
     # depth sequence at 32x64
     depth_dir = tmp_path / "depth_cafebabe00000000"

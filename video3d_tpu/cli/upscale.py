@@ -26,6 +26,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", default=None,
                    help="Output path (default: depth_4k_<dirname>.mp4)")
     p.add_argument("--method", choices=["guided", "scale"], default="guided")
+    p.add_argument("--guide-mode", choices=["gray", "color"], default="gray",
+                   help="Guided-filter guide: luma (fast) or full RGB "
+                   "covariance (also preserves iso-luminant color edges)")
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--radius", type=int, default=8,
                    help="Guided-filter window radius")
@@ -47,6 +50,7 @@ def main(argv=None) -> int:
         batch_size=args.batch_size,
         radius=args.radius,
         eps=args.eps,
+        guide_mode=args.guide_mode,
     )
     out = upscaler.process_depth_upscaling(
         args.depth_dir,

@@ -59,7 +59,8 @@ def guided_filter(
     return mean_a * guide + mean_b
 
 
-@partial(jax.jit, static_argnames=("out_h", "out_w", "radius", "eps"))
+@partial(jax.jit, static_argnames=("out_h", "out_w", "radius", "eps",
+                                   "guide_mode"))
 def guided_upsample(
     depth: jnp.ndarray,
     guide_rgb: jnp.ndarray,
@@ -67,33 +68,85 @@ def guided_upsample(
     out_w: int,
     radius: int = 8,
     eps: float = 1e-3,
+    guide_mode: str = "gray",
 ) -> jnp.ndarray:
     """Fast guided upsample: depth (B, h, w) + 4K guide (B, out_h, out_w, 3).
 
     Solves (a, b) at depth resolution against the downsampled guide, then
     applies bilinearly-upsampled coefficients against the full-res guide.
-    Depth values are preserved in scale (the filter is applied to the
-    normalized field and rescaled back).
+    ``guide_mode='gray'`` uses the luma guide (scalar a);
+    ``guide_mode='color'`` solves the full He et al. color formulation --
+    a 3-vector per pixel from the closed-form inverse of the regularized
+    3x3 RGB covariance -- which also preserves iso-luminant color edges
+    that a gray guide cannot see.
     """
     h, w = int(depth.shape[-2]), int(depth.shape[-1])
-    guide_full = rgb_to_gray(guide_rgb) / 255.0  # (B, out_h, out_w)
-    guide_lo = resize2d(guide_full, h, w, method="bilinear")
-
     p = depth.astype(jnp.float32) / 65535.0
-    mean_i = box_filter(guide_lo, radius)
-    mean_p = box_filter(p, radius)
-    corr_ii = box_filter(guide_lo * guide_lo, radius)
-    corr_ip = box_filter(guide_lo * p, radius)
-    var_i = corr_ii - mean_i * mean_i
-    cov_ip = corr_ip - mean_i * mean_p
-    a = cov_ip / (var_i + eps)
-    b = mean_p - a * mean_i
-    mean_a = box_filter(a, radius)
-    mean_b = box_filter(b, radius)
 
-    a_up = resize2d(mean_a, out_h, out_w, method="bilinear")
-    b_up = resize2d(mean_b, out_h, out_w, method="bilinear")
-    q = a_up * guide_full + b_up
+    if guide_mode == "gray":
+        guide_full = rgb_to_gray(guide_rgb) / 255.0  # (B, out_h, out_w)
+        guide_lo = resize2d(guide_full, h, w, method="bilinear")
+        mean_i = box_filter(guide_lo, radius)
+        mean_p = box_filter(p, radius)
+        corr_ii = box_filter(guide_lo * guide_lo, radius)
+        corr_ip = box_filter(guide_lo * p, radius)
+        var_i = corr_ii - mean_i * mean_i
+        cov_ip = corr_ip - mean_i * mean_p
+        a = cov_ip / (var_i + eps)
+        b = mean_p - a * mean_i
+        a_up = resize2d(box_filter(a, radius), out_h, out_w, method="bilinear")
+        b_up = resize2d(box_filter(b, radius), out_h, out_w, method="bilinear")
+        q = a_up * guide_full + b_up
+        return jnp.clip(q * 65535.0, 0.0, 65535.0)
+
+    # color guide: channels-first planes (B, 3, h, w) so every box filter
+    # works on (..., H, W)-minor tiles
+    guide_full = jnp.moveaxis(guide_rgb.astype(jnp.float32) / 255.0, -1, 1)
+    gf_lo = resize2d(guide_full, h, w, method="bilinear")  # (B, 3, h, w)
+    mean_i = box_filter(gf_lo, radius)  # (B, 3, h, w)
+    mean_p = box_filter(p, radius)  # (B, h, w)
+
+    # covariance matrix entries (6 unique) and cov(I, p) (3)
+    def corr(c1, c2):
+        return box_filter(gf_lo[:, c1] * gf_lo[:, c2], radius) - (
+            mean_i[:, c1] * mean_i[:, c2]
+        )
+
+    s_rr = corr(0, 0) + eps
+    s_rg = corr(0, 1)
+    s_rb = corr(0, 2)
+    s_gg = corr(1, 1) + eps
+    s_gb = corr(1, 2)
+    s_bb = corr(2, 2) + eps
+    cov_ip = [
+        box_filter(gf_lo[:, c] * p, radius) - mean_i[:, c] * mean_p
+        for c in range(3)
+    ]
+
+    # closed-form 3x3 symmetric inverse (adjugate / det)
+    c00 = s_gg * s_bb - s_gb * s_gb
+    c01 = s_gb * s_rb - s_rg * s_bb
+    c02 = s_rg * s_gb - s_gg * s_rb
+    c11 = s_rr * s_bb - s_rb * s_rb
+    c12 = s_rg * s_rb - s_rr * s_gb
+    c22 = s_rr * s_gg - s_rg * s_rg
+    det = s_rr * c00 + s_rg * c01 + s_rb * c02
+    inv_det = 1.0 / det
+    a0 = (c00 * cov_ip[0] + c01 * cov_ip[1] + c02 * cov_ip[2]) * inv_det
+    a1 = (c01 * cov_ip[0] + c11 * cov_ip[1] + c12 * cov_ip[2]) * inv_det
+    a2 = (c02 * cov_ip[0] + c12 * cov_ip[1] + c22 * cov_ip[2]) * inv_det
+    b = mean_p - a0 * mean_i[:, 0] - a1 * mean_i[:, 1] - a2 * mean_i[:, 2]
+
+    ups = [
+        resize2d(box_filter(x, radius), out_h, out_w, method="bilinear")
+        for x in (a0, a1, a2, b)
+    ]
+    q = (
+        ups[0] * guide_full[:, 0]
+        + ups[1] * guide_full[:, 1]
+        + ups[2] * guide_full[:, 2]
+        + ups[3]
+    )
     return jnp.clip(q * 65535.0, 0.0, 65535.0)
 
 

@@ -46,6 +46,7 @@ class DepthUpscaler:
         batch_size: int = 4,
         radius: int = 8,
         eps: float = 1e-3,
+        guide_mode: str = "gray",
     ):
         self.work_dir = Path(work_dir)
         self.work_dir.mkdir(parents=True, exist_ok=True)
@@ -54,6 +55,7 @@ class DepthUpscaler:
         self.batch_size = int(batch_size)
         self.radius = int(radius)
         self.eps = float(eps)
+        self.guide_mode = guide_mode
 
     def process_depth_upscaling(
         self,
@@ -130,6 +132,7 @@ class DepthUpscaler:
                             out_w,
                             radius=self.radius,
                             eps=self.eps,
+                            guide_mode=self.guide_mode,
                         )
                     else:  # guide ran dry: degrade to plain for the tail
                         up = plain_upsample(jnp.asarray(depth), out_h, out_w)
