@@ -1,0 +1,70 @@
+"""Depth server: ping, job processing (warm pipeline), error handling,
+shutdown -- over a real UNIX socket with the server in a subprocess."""
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+import pytest
+
+from tests.test_depth_stage import make_sbs_video
+from video3d_tpu.cli.serve import _client
+
+
+@pytest.fixture
+def server(tmp_path):
+    sock = str(tmp_path / "srv.sock")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)
+    repo = str(Path(__file__).resolve().parents[1])
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "video3d_tpu.cli.serve",
+         "--socket", sock, "--work-dir", str(tmp_path / "w"),
+         "--no-unsqueeze", "--batch-size", "2"],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+    )
+    # wait for the socket
+    for _ in range(300):
+        if Path(sock).exists():
+            break
+        if proc.poll() is not None:
+            raise RuntimeError(proc.stdout.read())
+        time.sleep(0.1)
+    else:
+        proc.kill()
+        raise RuntimeError("server socket never appeared")
+    yield sock
+    if proc.poll() is None:
+        try:
+            _client(sock, {"cmd": "shutdown"})
+        except Exception:
+            proc.kill()
+        proc.wait(timeout=30)
+
+
+def test_serve_ping_job_error_shutdown(server, tmp_path):
+    sock = server
+    assert _client(sock, {"cmd": "ping"}) == {"ok": True, "pong": True}
+
+    video = tmp_path / "sbs.mp4"
+    make_sbs_video(video, n_frames=4, shift=4)
+    resp = _client(sock, {"video": str(video), "max_frames": 4})
+    assert resp["ok"], resp
+    assert resp["frames"] == 4
+    assert Path(resp["cache_dir"]).exists()
+
+    # second job on the warm pipeline (cache hit for same request)
+    t0 = time.time()
+    resp2 = _client(sock, {"video": str(video), "max_frames": 4})
+    assert resp2["ok"] and resp2["cache_dir"] == resp["cache_dir"]
+    assert time.time() - t0 < 10  # warm + cached
+
+    # bad request is reported, server keeps serving
+    bad = _client(sock, {"video": "/nonexistent.mp4"})
+    assert not bad["ok"] and "error" in bad
+    assert _client(sock, {"cmd": "ping"})["ok"]
