@@ -22,8 +22,15 @@ def server(tmp_path):
     env.pop("XLA_FLAGS", None)
     repo = str(Path(__file__).resolve().parents[1])
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    # jax.config call, not env: the host sitecustomize may pin the
+    # platform to a real TPU regardless of JAX_PLATFORMS
+    boot = (
+        "import jax; jax.config.update('jax_platforms','cpu'); "
+        "import sys; from video3d_tpu.cli.serve import main; "
+        "sys.exit(main(sys.argv[1:]))"
+    )
     proc = subprocess.Popen(
-        [sys.executable, "-m", "video3d_tpu.cli.serve",
+        [sys.executable, "-c", boot,
          "--socket", sock, "--work-dir", str(tmp_path / "w"),
          "--no-unsqueeze", "--batch-size", "2"],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
