@@ -226,7 +226,7 @@ def _directional_pass_dmajor(
     b, h, d, w = cost.shape
     # pick (block-batch, rows-per-step) to fill the VMEM budget: carry is
     # len(shifts)*bb*d*w f32; cost/acc/out blocks are double-buffered
-    budget = 13 * 2**20
+    budget = 14 * 2**20
 
     def vmem(bb, rps):
         return (
@@ -236,7 +236,7 @@ def _directional_pass_dmajor(
 
     bb = 1
     rps = 1
-    for cand in (8, 6, 4, 3, 2):
+    for cand in (8, 6, 5, 4, 3, 2):
         if h % cand == 0 and vmem(1, cand) <= budget:
             rps = cand
             break
