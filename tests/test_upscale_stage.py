@@ -137,3 +137,14 @@ def test_upscale_stage_artifacts(tmp_path):
                         batch_size=2)
     out3 = up2.process_depth_upscaling(str(depth_dir), str(video_4k))
     assert get_video_info(str(out3))["frames"] == 5
+
+    # full-precision PNG16 sequence output
+    from video3d_tpu.core.depthio import load_depth_png16 as load16
+
+    out4 = up2.process_depth_upscaling(
+        str(depth_dir), str(video_4k), png16_out=True
+    )
+    pngs = sorted(out4.glob("depth_*.png"))
+    assert len(pngs) == 5
+    d = load16(pngs[0])
+    assert d.dtype == np.uint16 and d.shape == (64, 128)

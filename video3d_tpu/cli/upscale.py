@@ -35,6 +35,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eps", type=float, default=1e-3,
                    help="Guided-filter regularization")
     p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--png16-out", action="store_true",
+                   help="Write a full-precision uint16 PNG sequence instead "
+                   "of an 8-bit H.264 video")
     p.add_argument("--use-nvenc", action="store_true",
                    help="Accepted for parity (upscale.py:15); software encode")
     p.add_argument("--force", action="store_true")
@@ -58,6 +61,7 @@ def main(argv=None) -> int:
         output_path=args.output,
         force=args.force,
         max_frames=args.max_frames,
+        png16_out=args.png16_out,
     )
     print(f"Depth video: {out}")
     return 0

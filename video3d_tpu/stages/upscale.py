@@ -64,11 +64,15 @@ class DepthUpscaler:
         output_path: Optional[str] = None,
         force: bool = False,
         max_frames: Optional[int] = None,
+        png16_out: bool = False,
     ) -> Path:
         """Upscale ``depth_dir``'s PNG sequence to the 4K video's geometry.
 
-        Returns the encoded video path. Skips work if the output already
-        exists (upscale.py:105-107) unless ``force``.
+        Returns the encoded video path (or, with ``png16_out``, a
+        directory of full-precision ``depth_%06d.png`` uint16 maps -- the
+        mp4 path quantizes to 8 bits through yuv420p like the reference).
+        Skips work if the output already exists (upscale.py:105-107)
+        unless ``force``.
         """
         depth_dir = Path(depth_dir)
         frames = list_depth_frames(depth_dir)
@@ -83,11 +87,13 @@ class DepthUpscaler:
         out_w, out_h, fps = info["width"], info["height"], info["fps"]
 
         if output_path is None:
-            output_path = self.work_dir / f"depth_4k_{depth_dir.name}.mp4"
+            suffix = "" if png16_out else ".mp4"
+            output_path = self.work_dir / f"depth_4k_{depth_dir.name}{suffix}"
         output_path = Path(output_path)
         if output_path.exists() and not force:
-            print(f"Output already exists: {output_path}")
-            return output_path
+            if not png16_out or any(output_path.glob("depth_*.png")):
+                print(f"Output already exists: {output_path}")
+                return output_path
 
         print(
             f"Upscaling {len(frames)} depth maps -> {out_w}x{out_h} "
@@ -105,9 +111,15 @@ class DepthUpscaler:
 
         t0 = time.time()
         n_done = 0
-        with VideoWriter(
-            str(output_path), out_w, out_h, fps, use_nvenc=self.use_nvenc
-        ) as writer:
+        if png16_out:
+            from video3d_tpu.core.depthio import DepthMapWriter
+
+            writer_cm = DepthMapWriter(output_path)
+        else:
+            writer_cm = VideoWriter(
+                str(output_path), out_w, out_h, fps, use_nvenc=self.use_nvenc
+            )
+        with writer_cm as writer:
             for i in range(0, len(frames), self.batch_size):
                 chunk = frames[i : i + self.batch_size]
                 depth = np.stack([load_depth_png16(p) for p in chunk])
@@ -139,9 +151,14 @@ class DepthUpscaler:
                 else:
                     up = plain_upsample(jnp.asarray(depth), out_h, out_w)
 
-                gray8 = (np.asarray(up) / 257.0).astype(np.uint8)
-                for j in range(valid):
-                    writer.write(gray8[j])
+                if png16_out:
+                    writer.put(
+                        np.asarray(up).astype(np.uint16), n_done, valid
+                    )
+                else:
+                    gray8 = (np.asarray(up) / 257.0).astype(np.uint8)
+                    for j in range(valid):
+                        writer.write(gray8[j])
                 n_done += valid
                 if n_done % 100 < valid:
                     dt = time.time() - t0
