@@ -211,7 +211,12 @@ int decode16(const uint8_t* png, size_t len, uint16_t* out, int* out_h,
     pos += 12 + clen;
   }
   if (color != 0 || (depth != 8 && depth != 16)) return -4;
-  if (w <= 0 || h <= 0 || w * h > max_pixels) return -5;
+  // pixel-count check in 64-bit: crafted IHDR dims (e.g. 65536x65537)
+  // overflow 32-bit w*h to a small value and bypass the cap
+  if (w <= 0 || h <= 0 || w > (1 << 20) || h > (1 << 20) ||
+      static_cast<int64_t>(w) * static_cast<int64_t>(h) >
+          static_cast<int64_t>(max_pixels))
+    return -5;
   const int bpp = depth / 8;
   const size_t rowbytes = static_cast<size_t>(w) * bpp;
   std::vector<uint8_t> raw(static_cast<size_t>(h) * (rowbytes + 1));
@@ -325,16 +330,22 @@ int v3d_png16_decode(const uint8_t* png, size_t len, uint16_t* out,
 // failures; blocks until all files are on disk.
 int v3d_png16_encode_batch_to_files(const uint16_t* batch, int n, int h,
                                     int w, int zlevel, const char* paths) {
-  std::atomic<int> failures{0};
-  std::atomic<int> done{0};
-  std::mutex mu;
-  std::condition_variable cv;
+  // Completion state lives on the heap, shared by workers and waiter:
+  // with stack-allocated mu/cv the waiter can observe done==n and return
+  // while the last worker is still about to touch the (destroyed) cv.
+  struct BatchState {
+    std::atomic<int> failures{0};
+    int done = 0;
+    std::mutex mu;
+    std::condition_variable cv;
+  };
+  auto st = std::make_shared<BatchState>();
   const char* p = paths;
   for (int i = 0; i < n; i++) {
     const char* path = p;
     p += strlen(p) + 1;
     const uint16_t* img = batch + static_cast<size_t>(i) * h * w;
-    pool()->submit([=, &failures, &done, &mu, &cv] {
+    pool()->submit([=] {
       uint8_t* buf = nullptr;
       size_t len = encode16(img, h, w, zlevel, &buf);
       bool ok = len > 0;
@@ -344,17 +355,17 @@ int v3d_png16_encode_batch_to_files(const uint16_t* batch, int n, int h,
         if (f) fclose(f);
       }
       if (buf) free(buf);
-      if (!ok) failures.fetch_add(1);
+      if (!ok) st->failures.fetch_add(1);
       {
-        std::lock_guard<std::mutex> lk(mu);
-        done.fetch_add(1);
+        std::lock_guard<std::mutex> lk(st->mu);
+        st->done++;
+        st->cv.notify_one();
       }
-      cv.notify_one();
     });
   }
-  std::unique_lock<std::mutex> lk(mu);
-  cv.wait(lk, [&] { return done.load() == n; });
-  return failures.load();
+  std::unique_lock<std::mutex> lk(st->mu);
+  st->cv.wait(lk, [&] { return st->done == n; });
+  return st->failures.load();
 }
 
 }  // extern "C"

@@ -115,3 +115,18 @@ def test_per_frame_normalization_parity_mode():
     # each frame's dynamic range spans the full uint16 scale
     assert out.max(axis=(1, 2)).min() == 65535
     assert out.min(axis=(1, 2)).max() == 0
+
+
+def test_model_key_covers_speckle_and_sgbm_params(tmp_path):
+    """Output-affecting options must change the cache key (ADVICE round-1:
+    --no-speckle silently reused the speckled cache)."""
+    base = StereoDepthExtractor(work_dir=str(tmp_path / "w"))._model_key()
+    nos = StereoDepthExtractor(work_dir=str(tmp_path / "w"), apply_speckle=False)._model_key()
+    par = StereoDepthExtractor(
+        work_dir=str(tmp_path / "w"), params=SGBMParams(num_disparities=32)
+    )._model_key()
+    assert base != nos
+    assert base != par
+    assert nos != par
+    # defaults unchanged: key stays the plain checkpoint name
+    assert base == "stereo_only"

@@ -91,3 +91,48 @@ def test_two_process_distributed_depth(tmp_path):
     assert [f.name for f in files] == [
         f"depth_{i:06d}.png" for i in range(6)
     ], [f.name for f in files]
+
+
+def test_sharded_temporal_median_seam_matches_single_host(tmp_path, monkeypatch):
+    """Host-seam frames must be bit-identical to a single-host run when
+    temporal_median is on: each host decodes one halo frame past its
+    seam so the median-of-3 never clamps mid-stream (ADVICE round-1)."""
+    from video3d_tpu.core.depthio import load_depth_png16
+    from video3d_tpu.core.cache import depth_frame_name
+    from video3d_tpu.parallel import multihost
+    from video3d_tpu.stages.depth import StereoDepthExtractor
+
+    video = tmp_path / "sbs.mp4"
+    n = 8
+    make_sbs_video(video, n_frames=n, shift=4)
+
+    def make_ext(work):
+        return StereoDepthExtractor(
+            work_dir=str(work),
+            batch_size=3,
+            unsqueeze_anamorphic=False,
+            apply_speckle=False,
+            temporal_median=True,
+        )
+
+    # single-host ground truth
+    single = make_ext(tmp_path / "single").process_video_sbs(
+        str(video), max_frames=n
+    )
+
+    # simulate 2 hosts sequentially against one shared work dir
+    shared = tmp_path / "shared"
+    for pi in range(2):
+        monkeypatch.setattr(
+            multihost,
+            "host_frame_slice",
+            lambda nf, pi=pi: multihost.frame_ranges(nf, 2)[pi],
+        )
+        make_ext(shared).process_video_sbs_sharded(str(video))
+
+    caches = list(shared.glob("depth_*/"))
+    assert len(caches) == 1, caches
+    for i in range(n):
+        a = load_depth_png16(single / depth_frame_name(i))
+        b = load_depth_png16(caches[0] / depth_frame_name(i))
+        assert np.array_equal(a, b), f"frame {i} differs at host seam"

@@ -109,15 +109,21 @@ def main(argv=None) -> int:
                 return
             try:
                 t0 = time.time()
+                # a per-job work_dir override must not leak into later
+                # jobs that omit it -- restore the server default after
+                default_work_dir = extractor.work_dir
                 if req.get("work_dir"):
                     extractor.work_dir = Path(req["work_dir"])
                     extractor.work_dir.mkdir(parents=True, exist_ok=True)
-                cache = extractor.process_video_sbs(
-                    req["video"],
-                    start_frame=int(req.get("start_frame", 0)),
-                    max_frames=req.get("max_frames"),
-                    force=bool(req.get("force", False)),
-                )
+                try:
+                    cache = extractor.process_video_sbs(
+                        req["video"],
+                        start_frame=int(req.get("start_frame", 0)),
+                        max_frames=req.get("max_frames"),
+                        force=bool(req.get("force", False)),
+                    )
+                finally:
+                    extractor.work_dir = default_work_dir
                 n = len(list(Path(cache).glob("depth_*.png")))
                 self._reply({
                     "ok": True,

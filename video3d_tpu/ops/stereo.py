@@ -33,7 +33,10 @@ import jax
 import jax.numpy as jnp
 
 BIG = 1e9
-_SOBEL_CAP_BIG = jnp.float32(BIG)
+# out-of-image cost sentinel; kept a Python float so importing this
+# module never materializes a device array (backend must stay
+# uninitialized until callers pick a platform -- parallel/dryrun.py)
+_SOBEL_CAP_BIG = BIG
 
 
 @dataclasses.dataclass(frozen=True)

@@ -23,13 +23,22 @@ _DEFAULT_CACHE = os.path.join(
 )
 
 
+def _intended_platform() -> str:
+    """Best-effort platform name WITHOUT initializing any backend.
+
+    ``jax.default_backend()`` would lock in the platform for the whole
+    process; callers like ``parallel.dryrun`` must still be able to
+    force CPU after this module imports. Reads the config/env hints
+    only (empty string when JAX would autodetect).
+    """
+    plats = jax.config.jax_platforms or os.environ.get("JAX_PLATFORMS", "")
+    return plats.split(",")[0].strip() if plats else ""
+
+
 def enable_compilation_cache() -> None:
     if jax.config.jax_compilation_cache_dir:  # user already configured it
         return
-    try:
-        backend = jax.default_backend()
-    except Exception:
-        return
+    backend = _intended_platform()
     if backend == "cpu":
         # CPU executables are AOT-compiled for exact machine features; a
         # cache shared across heterogeneous hosts risks SIGILL. The CPU

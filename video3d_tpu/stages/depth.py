@@ -226,25 +226,46 @@ class StereoDepthExtractor:
             self.work_dir, str(video_path), 0, n,
             self._model_key() + "+multihost", self.unsqueeze_anamorphic,
         )
+        # temporal median clamps at its range boundary; decode one halo
+        # frame past each host seam (dropped from the written output) so
+        # seam frames are bit-identical to a single-host run
+        halo = 1 if self.temporal_median else 0
+        halo_lo = halo if start > 0 else 0
+        halo_hi = halo if start + count < n else 0
         print(
             f"Host {__import__('jax').process_index()}: frames "
             f"[{start}, {start + count}) of {n} -> {cache}"
         )
         return self.process_video_sbs(
             video_path,
-            start_frame=start,
-            max_frames=count,
+            start_frame=start - halo_lo,
+            max_frames=count + halo_lo + halo_hi,
             force=force,
             cache_dir=cache,
-            index_offset=start,
+            index_offset=start - halo_lo,
+            write_range=(start, start + count),
         )
 
     def _model_key(self) -> str:
+        """Cache-key component covering every output-affecting option, so
+        e.g. a ``--no-speckle`` run never aliases a speckled cache."""
         model_key = self.model_checkpoint
         if self.normalize != "fixed":
             model_key += f"+norm={self.normalize}"
         if self.temporal_median:
             model_key += "+tmedian"
+        if not self.apply_speckle:
+            model_key += "+nospeckle"
+        default_params = SGBMParams()
+        if self.params != default_params:
+            import dataclasses
+
+            diff = ",".join(
+                f"{f.name}={getattr(self.params, f.name)}"
+                for f in dataclasses.fields(SGBMParams)
+                if getattr(self.params, f.name) != getattr(default_params, f.name)
+            )
+            model_key += f"+sgbm({diff})"
         return model_key
 
     def process_video_sbs(
@@ -255,6 +276,7 @@ class StereoDepthExtractor:
         force: bool = False,
         cache_dir: Optional[Path] = None,
         index_offset: int = 0,
+        write_range: Optional[tuple] = None,
     ) -> Path:
         """Extract depth maps for a frame range; returns the cache dir.
 
@@ -262,6 +284,9 @@ class StereoDepthExtractor:
         ``force`` (reference depth.py:433-437). ``cache_dir``/
         ``index_offset`` support shared multi-host caches with global
         frame numbering (see :meth:`process_video_sbs_sharded`).
+        ``write_range`` (global [lo, hi)) restricts which computed frames
+        are written -- used to drop temporal-median halo frames at
+        multi-host seams.
         """
         info = get_video_info(str(video_path))
         if info is None:
@@ -289,10 +314,13 @@ class StereoDepthExtractor:
             )
         from video3d_tpu.core.cache import is_depth_cached_range
 
+        check_lo, check_n = index_offset, n_frames
+        if write_range is not None:
+            check_lo, check_n = write_range[0], write_range[1] - write_range[0]
         if (
             not force
-            and n_frames is not None
-            and is_depth_cached_range(cache, index_offset, n_frames)
+            and check_n is not None
+            and is_depth_cached_range(cache, check_lo, check_n)
         ):
             print(f"Using cached depth maps: {cache}")
             return cache
@@ -329,6 +357,14 @@ class StereoDepthExtractor:
 
             def drain(p):
                 arr, start, n_valid = p
+                if write_range is not None:
+                    # clip to the writable window (drop halo frames)
+                    lo = max(start, write_range[0])
+                    hi = min(start + n_valid, write_range[1])
+                    if hi <= lo:
+                        return
+                    arr = arr[lo - start : hi - start]
+                    start, n_valid = lo, hi - lo
                 writer.put(np.asarray(arr), start, n_valid)
 
             for frames, valid in reader:
