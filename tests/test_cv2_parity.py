@@ -34,7 +34,7 @@ def _textured_pair(h=96, w=256, shift=7, seed=0):
     return left.astype(np.uint8), right.astype(np.uint8)
 
 
-def _cv2_sgbm(left, right, num_disp=16, block=5):
+def _cv2_sgbm(left, right, num_disp=16, block=5, mode=None, speckle=100):
     matcher = cv2.StereoSGBM_create(
         minDisparity=0,
         numDisparities=num_disp,
@@ -43,9 +43,11 @@ def _cv2_sgbm(left, right, num_disp=16, block=5):
         P2=32 * 3 * block**2,
         disp12MaxDiff=1,
         uniquenessRatio=10,
-        speckleWindowSize=100,
+        speckleWindowSize=speckle,
         speckleRange=32,
-        mode=cv2.STEREO_SGBM_MODE_HH,  # 8-path, like ours
+        # default = single-pass MODE_SGBM, the reference's matcher mode
+        # (depth.py:314-324); tests pin MODE_HH when comparing num_paths=8
+        mode=cv2.STEREO_SGBM_MODE_SGBM if mode is None else mode,
     )
     return matcher.compute(left, right).astype(np.float32) / 16.0
 
@@ -98,3 +100,47 @@ def test_invalidation_regions_overlap_cv2():
     # the strip where the full range cannot be evaluated is invalid in both
     assert (cv_disp[:, :nd] < 0).mean() > 0.9
     assert (ours[:, :nd] < 0).all()
+
+
+@pytest.mark.parametrize(
+    "num_paths,cv_mode_name",
+    [(5, "STEREO_SGBM_MODE_SGBM"), (8, "STEREO_SGBM_MODE_HH")],
+)
+def test_production_scale_parity(num_paths, cv_mode_name):
+    """Production config (reference depth.py:315-325): 64 disparities,
+    full 960-px eye width (1080p SBS half), P1=600/P2=2400, speckle on.
+    5-path vs cv2's single-pass default and 8-path vs MODE_HH."""
+    h, w, nd, shift = 160, 960, 64, 23
+    left, right = _textured_pair(h=h, w=w, shift=shift, seed=11)
+    cv_disp = _cv2_sgbm(
+        left, right, num_disp=nd, mode=getattr(cv2, cv_mode_name)
+    )
+    p = SGBMParams(num_paths=num_paths)  # exact reference params otherwise
+    ours = np.asarray(
+        sgbm_disparity(
+            jnp.asarray(left[None], jnp.float32),
+            jnp.asarray(right[None], jnp.float32),
+            p,
+            apply_speckle=True,
+        )
+    )[0]
+
+    # joint invalid-strip behavior: everything left of minD+numD invalid
+    assert (ours[:, :nd] < 0).all()
+    assert (cv_disp[:, :nd] < 0).mean() > 0.9
+
+    interior = (slice(8, -8), slice(nd + 16, -8))
+    cv_i, our_i = cv_disp[interior], ours[interior]
+    both_valid = (cv_i >= 0) & (our_i >= 0)
+    assert both_valid.mean() > 0.8
+    # agreement on validity decisions themselves
+    assert ((cv_i >= 0) == (our_i >= 0)).mean() > 0.9
+
+    med_cv = np.median(cv_i[both_valid])
+    med_us = np.median(our_i[both_valid])
+    assert abs(med_cv - shift) < 1.0 and abs(med_us - shift) < 1.0
+    assert abs(med_cv - med_us) < 0.25
+
+    close = np.abs(cv_i[both_valid] - our_i[both_valid])
+    assert (close <= 1.0).mean() > 0.9, f"{(close <= 1.0).mean():.2%}"
+    assert (close <= 0.5).mean() > 0.85, f"{(close <= 0.5).mean():.2%}"

@@ -128,5 +128,6 @@ def test_model_key_covers_speckle_and_sgbm_params(tmp_path):
     assert base != nos
     assert base != par
     assert nos != par
-    # defaults unchanged: key stays the plain checkpoint name
-    assert base == "stereo_only"
+    # defaults: plain checkpoint name + algorithm version token
+    from video3d_tpu.stages.depth import ALGO_VERSION
+    assert base == f"stereo_only+a{ALGO_VERSION}"

@@ -32,14 +32,14 @@ def cost(rng=None):
     return jnp.asarray(r.uniform(0, 100, (2, 12, 16, 8)).astype(np.float32))
 
 
-@pytest.mark.parametrize("paths", [2, 4, 8])
+@pytest.mark.parametrize("paths", [2, 4, 5, 8])
 def test_pallas_sgm_matches_scan(cost, paths):
     ref = sgm_aggregate(cost, SGBMParams(num_paths=paths, p1=6.0, p2=24.0))
     out = sgm_aggregate_pallas(cost, paths, 6.0, 24.0, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-3)
 
 
-@pytest.mark.parametrize("paths", [2, 4, 8])
+@pytest.mark.parametrize("paths", [2, 4, 5, 8])
 def test_pallas_sgm_dmajor_matches_scan(cost, paths):
     ref = sgm_aggregate(cost, SGBMParams(num_paths=paths, p1=6.0, p2=24.0))
     cost_d = jnp.moveaxis(cost, -1, -2)  # (B, H, D, W)
@@ -77,18 +77,19 @@ def test_fused_cost_volume_matches_xla():
     assert ((np.asarray(out) > BIG / 2) == ~mask).all()
 
 
-def test_fused_final_wta_matches_unfused():
+@pytest.mark.parametrize("paths", [4, 5, 8])
+def test_fused_final_wta_matches_unfused(paths):
     """sgm_wta_pallas_dmajor == aggregate + wta_disparity_dmajor."""
     from video3d_tpu.kernels.sgm import sgm_wta_pallas_dmajor
 
     r = np.random.default_rng(3)
     left = jnp.asarray(r.uniform(0, 255, (2, 24, 48)).astype(np.float32))
     right = jnp.roll(left, 3, axis=-1)
-    p = SGBMParams(num_disparities=8, speckle_window_size=0)
+    p = SGBMParams(num_disparities=8, speckle_window_size=0, num_paths=paths)
     lf, rf = xsobel_clip(left, 31), xsobel_clip(right, 31)
     cost = box_aggregate_hw(bt_cost_volume_dmajor(lf, rf, 8), 5)
     cost = jnp.minimum(cost, 1e9)
-    agg = sgm_aggregate_pallas_dmajor(cost, 8, p.p1, p.p2, interpret=True)
+    agg = sgm_aggregate_pallas_dmajor(cost, paths, p.p1, p.p2, interpret=True)
     ref = wta_disparity_dmajor(agg, p)
     out = sgm_wta_pallas_dmajor(cost, p, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
@@ -105,3 +106,43 @@ def test_dmajor_wta_matches_standard():
     ref = wta_disparity(agg, p)
     out = wta_disparity_dmajor(jnp.moveaxis(agg, -1, -2), p)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_int16_path_matches_f32_reference():
+    """Full int16 pipeline (sentinel-free fused cost volume + int16 SGM
+    accumulation + fused WTA) vs the f32/BIG-sentinel reference path.
+
+    The only deviation is the post-box round-to-integer of the cost
+    (<= 0.5 per window vs a P1=600 smoothness scale), so disparities
+    must agree to sub-pixel tolerance on effectively every pixel."""
+    from video3d_tpu.kernels.costvol import fused_cost_volume
+    from video3d_tpu.kernels.sgm import sgm_wta_pallas_dmajor
+
+    r = np.random.default_rng(7)
+    h, w, nd, shift = 24, 96, 16, 4
+    base = r.uniform(0, 255, (2, h, w + shift)).astype(np.float32)
+    left = jnp.asarray(base[:, :, :w])
+    right = jnp.asarray(base[:, :, shift : shift + w])
+    p = SGBMParams(num_disparities=nd, speckle_window_size=0)
+    lf, rf = xsobel_clip(left, p.prefilter_cap), xsobel_clip(right, p.prefilter_cap)
+
+    cost_f32 = jnp.minimum(
+        box_aggregate_hw(bt_cost_volume_dmajor(lf, rf, nd), p.block_size), 1e9
+    )
+    ref = sgm_wta_pallas_dmajor(cost_f32, p, interpret=True)
+
+    cost_i16 = fused_cost_volume(
+        lf, rf, nd, p.block_size, out_dtype=jnp.int16,
+        raw_invalid=2.0 * p.prefilter_cap, interpret=True,
+    )
+    assert cost_i16.dtype == jnp.int16
+    assert int(jnp.max(cost_i16)) <= p.block_size**2 * 2 * p.prefilter_cap
+    out = sgm_wta_pallas_dmajor(cost_i16, p, interpret=True)
+
+    a, b = np.asarray(ref), np.asarray(out)
+    both_valid = (a >= 0) & (b >= 0)
+    # validity flips only from cost rounding at decision boundaries
+    assert ((a >= 0) != (b >= 0)).mean() < 0.02
+    d = np.abs(a - b)[both_valid]
+    assert (d < 0.25).mean() > 0.98, f"agree={(d < 0.25).mean()}"
+    assert np.median(d) < 0.05

@@ -87,7 +87,15 @@ def main() -> None:
     gr = rng.uniform(0, 63, (b, h, w)).astype(np.float32)
     frames = rng.integers(0, 255, (b, h, w, 3), dtype=np.uint8)
 
-    cost = fused_cost_volume(gl, gr, d, p.block_size)
+    # mirror the production precision choice (ops/stereo.py TPU path)
+    import os as _os
+
+    use_i16 = _os.environ.get("VIDEO3D_TPU_SGM_PRECISION", "int16") == "int16"
+    cost_dtype = jnp.int16 if use_i16 else jnp.bfloat16
+    raw_invalid = 2.0 * p.prefilter_cap if use_i16 else 1e9
+    cost = fused_cost_volume(
+        gl, gr, d, p.block_size, out_dtype=cost_dtype, raw_invalid=raw_invalid
+    )
     cost_t = jnp.swapaxes(cost, 1, 3)
     acc_t = _directional_pass_dmajor(cost_t, None, (0,), p.p1, p.p2, False)
     acc = jnp.swapaxes(acc_t, 1, 3)
@@ -103,7 +111,9 @@ def main() -> None:
         "xsobel": (lambda x: xsobel_clip(x, p.prefilter_cap), (gl,),
                    2 * h * w * 4),
         "costvol_fused": (
-            lambda a, bb: fused_cost_volume(a, bb, d, p.block_size),
+            lambda a, bb: fused_cost_volume(
+                a, bb, d, p.block_size, out_dtype=cost_dtype,
+                raw_invalid=raw_invalid),
             (gl, gr), 2 * h * w * 4 + vol * cb),
         "transpose_cost": (lambda c: jnp.swapaxes(c, 1, 3), (cost,),
                            2 * vol * cb),
@@ -123,10 +133,10 @@ def main() -> None:
             (cost, acc), vol * cb + 2 * vol * ab),
         "sgm_wta_all_passes": (
             lambda c: sgm_wta_pallas_dmajor(c, p), (cost,),
-            # 2 transposes + 4 pass traversals (see kernels/sgm.py)
-            2 * vol * cb + 2 * vol * ab
-            + (vol * cb + vol * ab) + (vol * cb + 2 * vol * ab)
-            + (vol * cb + 2 * vol * ab) + (vol * cb + vol * ab)),
+            # cost transpose + hfwd + hbwd + acc transpose + final fused
+            # WTA (5-path default; see kernels/sgm.py)
+            2 * vol * cb + (vol * cb + vol * ab) + (vol * cb + 2 * vol * ab)
+            + 2 * vol * ab + (vol * cb + vol * ab)),
         "sgm_full": (
             lambda a, bb: sgbm_disparity(a, bb, p, apply_speckle=False),
             (gl, gr), None),

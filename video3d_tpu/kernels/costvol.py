@@ -60,26 +60,72 @@ def _cost_kernel(
     out_ref,
     ring_ref,
     vsum_ref,
+    stage_ref,
     *,
     num_disp: int,
     pad: int,
     h: int,
+    rps: int,
+    raw_invalid: float,
 ):
-    """Blocks: left/right (BB, 1, W); out (BB, 1, D, W).
+    """Blocks: left/right (BB, RPS, 1, W); out (BB, RPS, D, W).
 
-    Grid is (B/BB, H + 2*pad); step y computes raw row y and emits output
-    row y - pad once the window is full.
+    Grid step s computes raw rows [s*rps, s*rps + rps) and emits the
+    out block s-1 (rows lag the raws by ``pad``): a raw row y completes
+    aggregated row y - pad, so rows y-pad >= (s-1)*rps finish during
+    step s's first ``pad`` iterations. Rows belonging to block s-1 are
+    written straight into out_ref (pre-seeded from the staging buffer);
+    later rows go to the staging buffer for the next step. All staging
+    indices are static (pad and rps are compile-time).
     """
-    y = pl.program_id(1)
-    ring_slots = 2 * pad + 1
+    s = pl.program_id(1)
 
-    @pl.when(y == 0)
+    @pl.when(s == 0)
     def _():
         ring_ref[...] = jnp.zeros_like(ring_ref)
         vsum_ref[...] = jnp.zeros_like(vsum_ref)
 
-    l_row = left_ref[:, 0]  # block (BB, 1, 1, W) -> (BB, 1, W)
-    r_row = right_ref[:, 0]
+    # seed the out block with the rows staged during the previous step
+    out_ref[...] = stage_ref[...]
+
+    for i in range(rps):
+        _cost_row_step(
+            left_ref[:, i],  # (BB, 1, W)
+            right_ref[:, i],
+            out_ref,
+            ring_ref,
+            vsum_ref,
+            stage_ref,
+            y=s * rps + i,
+            i=i,
+            num_disp=num_disp,
+            pad=pad,
+            h=h,
+            rps=rps,
+            raw_invalid=raw_invalid,
+        )
+
+
+def _cost_row_step(
+    l_row,
+    r_row,
+    out_ref,
+    ring_ref,
+    vsum_ref,
+    stage_ref,
+    *,
+    y,
+    i: int,
+    num_disp: int,
+    pad: int,
+    h: int,
+    rps: int,
+    raw_invalid: float,
+):
+    """Process raw row ``y`` (= s*rps + i) and emit aggregated row
+    ``y - pad`` into out_ref (if it belongs to the current out block,
+    i.e. i < pad) or the staging buffer (otherwise)."""
+    ring_slots = 2 * pad + 1
     bb, _, w = l_row.shape
 
     # raw BT cost row (BB, D, W); rows beyond the image contribute zeros.
@@ -114,7 +160,7 @@ def _cost_kernel(
         d_lr = jnp.maximum(0.0, jnp.maximum(l_row - rhi_d, rlo_d - l_row))
         d_rl = jnp.maximum(0.0, jnp.maximum(r_d - l_hi, l_lo - r_d))
         cost = jnp.minimum(d_lr, d_rl)
-        cost = jnp.where(cols8 < d_iota8 + sub * j, BIG, cost)
+        cost = jnp.where(cols8 < d_iota8 + sub * j, raw_invalid, cost)
         pieces.append(cost)
     raw = jnp.concatenate(pieces, axis=1)  # (BB, D, W)
     raw = jnp.where(y < h, raw, jnp.zeros_like(raw))
@@ -128,7 +174,10 @@ def _cost_kernel(
 
     # horizontal 5-tap: shifted adds with zero edge masking. Emission
     # starts at y == pad: the top rows' windows are correct because
-    # missing rows above the image contributed zeros to vsum.
+    # missing rows above the image contributed zeros to vsum. The
+    # emitted row y - pad belongs to out block s-1 when i < pad (slot
+    # rps - pad + i) and to the staging buffer otherwise (slot i - pad);
+    # both slot indices are static.
     @pl.when(y >= pad)
     def _():
         wcols = jax.lax.broadcasted_iota(jnp.int32, vsum.shape, 2)
@@ -138,7 +187,14 @@ def _cost_kernel(
             total = total + jnp.where(wcols < dx, 0.0, left_sh)
             right_sh = pltpu.roll(vsum, w - dx, axis=2)  # from x + dx
             total = total + jnp.where(wcols >= w - dx, 0.0, right_sh)
-        out_ref[:, 0] = jnp.minimum(total, BIG).astype(out_ref.dtype)
+        total = jnp.minimum(total, BIG)
+        if jnp.issubdtype(out_ref.dtype, jnp.integer):
+            total = jnp.round(total)
+        val = total.astype(out_ref.dtype)
+        if i < pad:
+            out_ref[:, rps - pad + i] = val
+        else:
+            stage_ref[:, i - pad] = val
 
 
 def fused_cost_volume(
@@ -147,30 +203,58 @@ def fused_cost_volume(
     num_disp: int,
     block_size: int = 5,
     out_dtype=jnp.bfloat16,
+    raw_invalid: float = BIG,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """(B, H, W) f32 pair -> (B, H, D, W) box-aggregated BT cost volume."""
+    """(B, H, W) f32 pair -> (B, H, D, W) box-aggregated BT cost volume.
+
+    ``raw_invalid`` is the per-pixel cost charged where the match would
+    fall outside the right image (x - d < 0). The default BIG reproduces
+    the f32 sentinel contract; for an int16 volume pass the max valid
+    per-pixel cost (2 * prefilter_cap) so box sums stay within the
+    integer range -- the WTA's geometric strip mask keeps those columns
+    invalid regardless (ops/stereo.py wta semantics).
+    """
     b, h, w = left_gray.shape
     pad = block_size // 2
-    steps = h + pad  # rows [pad, h+pad) emit output rows [0, h)
+    out_bytes = jnp.dtype(out_dtype).itemsize
 
-    # gray as (B, H, 1, W) so row blocks are (bb, 1, 1, w): the block's
+    # rows per grid step: the passes were step-count-bound at one row
+    # per step (~1082 steps x ~4 us at 1080p); deeper steps amortize.
+    # Constraint: rps >= pad for the static staging slot math.
+    budget = 12 * 2**20
+
+    def vmem(bb, rps):
+        ring = (2 * pad + 2) * bb * 4 * num_disp * w  # ring + vsum (f32)
+        stage = bb * rps * out_bytes * num_disp * w
+        blocks = 2 * bb * rps * out_bytes * num_disp * w  # out dbl-buffered
+        return ring + stage + blocks
+
+    rps = pad
+    for cand in (12, 10, 8, 6, 5, 4, 3):
+        if cand >= pad and h % cand == 0 and vmem(1, cand) <= budget:
+            rps = cand
+            break
+    bb = 1
+    while bb * 2 <= b and b % (bb * 2) == 0 and vmem(bb * 2, rps) <= budget:
+        bb *= 2
+
+    nblk = h // rps
+    steps = nblk + 1  # one extra step flushes the last pad rows
+
+    # gray as (B, H, 1, W) so row blocks are (bb, rps, 1, w): the block's
     # last two dims (1, w) span their array dims (Mosaic block rule)
     left_gray = left_gray[:, :, None, :]
     right_gray = right_gray[:, :, None, :]
-    row_map = lambda i, y: (i, jnp.minimum(y, h - 1), 0, 0)
-    out_map = lambda i, y: (i, jnp.maximum(y - pad, 0), 0, 0)
-    # block-batch frames while VMEM stays comfortable
-    per_frame = (2 * (2 * pad + 2)) * 4 * num_disp * w  # ring+vsum+blocks
-    bb = 1
-    while bb * 2 <= b and b % (bb * 2) == 0 and per_frame * bb * 2 < 10 * 2**20:
-        bb *= 2
-    gray_spec = pl.BlockSpec((bb, 1, 1, w), row_map, memory_space=pltpu.VMEM)
+    row_map = lambda i, s: (i, jnp.minimum(s, nblk - 1), 0, 0)
+    out_map = lambda i, s: (i, jnp.maximum(s - 1, 0), 0, 0)
+    gray_spec = pl.BlockSpec((bb, rps, 1, w), row_map, memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec(
-        (bb, 1, num_disp, w), out_map, memory_space=pltpu.VMEM
+        (bb, rps, num_disp, w), out_map, memory_space=pltpu.VMEM
     )
     kernel = functools.partial(
-        _cost_kernel, num_disp=num_disp, pad=pad, h=h
+        _cost_kernel, num_disp=num_disp, pad=pad, h=h, rps=rps,
+        raw_invalid=float(raw_invalid),
     )
     return pl.pallas_call(
         kernel,
@@ -181,6 +265,7 @@ def fused_cost_volume(
         scratch_shapes=[
             pltpu.VMEM((2 * pad + 1, bb, num_disp, w), jnp.float32),
             pltpu.VMEM((bb, num_disp, w), jnp.float32),
+            pltpu.VMEM((bb, rps, num_disp, w), out_dtype),
         ],
         interpret=interpret,
     )(left_gray, right_gray)

@@ -35,6 +35,16 @@ from jax.experimental.pallas import tpu as pltpu
 BIG = 1e9
 
 
+def _acc_dtype_for(cost_dtype) -> jnp.dtype:
+    """Accumulator/carry dtype for a given cost-volume dtype.
+
+    Integer (sentinel-free) cost -> int16: path values are exact
+    integers bounded by 8 * (block**2 * 2*cap + P2) ~= 31.6k < 2**15.
+    Float cost (BIG sentinel) -> f32.
+    """
+    return jnp.int16 if jnp.issubdtype(cost_dtype, jnp.integer) else jnp.float32
+
+
 def _row_kernel(
     cost_ref,
     acc_ref,
@@ -133,6 +143,8 @@ def sgm_aggregate_pallas(
     acc_t = _directional_pass(cost_t, acc_t, (0,), p1, p2, True, interpret)
     acc = jnp.swapaxes(acc_t, 1, 2)
 
+    if num_paths == 5:
+        return _directional_pass(cost, acc, (0, 1, -1), p1, p2, False, interpret)
     if num_paths >= 4:
         shifts = (0, 1, -1) if num_paths >= 8 else (0,)
         acc = _directional_pass(cost, acc, shifts, p1, p2, False, interpret)
@@ -185,9 +197,13 @@ def _row_kernel_dmajor(
     rows = range(rps - 1, -1, -1) if reverse else range(rps)
     for r in rows:
         c = c_all[:, r]  # (BB, D, W)
-        total = acc_ref[:, r] if acc_ref is not None else jnp.zeros_like(c)
+        total = (
+            acc_ref[:, r].astype(jnp.float32)
+            if acc_ref is not None
+            else jnp.zeros_like(c)
+        )
         for k, s in enumerate(shifts):
-            prev = carry_ref[k]  # (BB, D, W)
+            prev = carry_ref[k].astype(jnp.float32)  # (BB, D, W)
             if s != 0:
                 rolled = pltpu.roll(prev, s % w, axis=2)
                 cols = jax.lax.broadcasted_iota(jnp.int32, rolled.shape, 2)
@@ -204,9 +220,9 @@ def _row_kernel_dmajor(
                 jnp.minimum(prev, m + p2), jnp.minimum(up, dn) + p1
             )
             l_new = c + best - m
-            carry_ref[k] = l_new
+            carry_ref[k] = l_new.astype(carry_ref.dtype)
             total = total + l_new
-        out_ref[:, r] = total
+        out_ref[:, r] = total.astype(out_ref.dtype)
 
 
 def _directional_pass_dmajor(
@@ -221,22 +237,29 @@ def _directional_pass_dmajor(
     """Sweep over axis 1 (scan lines) of (B, R, D, W), adding into acc.
 
     ``acc=None`` starts a fresh accumulation (no zeros round-trip
-    through HBM for the first pass).
+    through HBM for the first pass). The accumulator/carry dtype follows
+    the cost dtype: an integer cost volume (int16, sentinel-free -- see
+    costvol.fused_cost_volume raw_invalid) uses int16 accumulation
+    (OpenCV's own representation; exact, since every path value is an
+    integer <= 8 * (cost_max + P2) < 2**15), halving HBM traffic and
+    doubling the rows a VMEM budget can hold.
     """
     b, h, d, w = cost.shape
+    acc_dtype = acc.dtype if acc is not None else _acc_dtype_for(cost.dtype)
+    ab = jnp.dtype(acc_dtype).itemsize
     # pick (block-batch, rows-per-step) to fill the VMEM budget: carry is
-    # len(shifts)*bb*d*w f32; cost/acc/out blocks are double-buffered
+    # len(shifts)*bb*d*w at acc dtype; cost/acc/out blocks double-buffered
     budget = 14 * 2**20
 
     def vmem(bb, rps):
         return (
-            len(shifts) * bb * 4 * d * w
-            + 2 * (bb * rps * (cost.dtype.itemsize + 8)) * d * w
+            len(shifts) * bb * ab * d * w
+            + 2 * (bb * rps * (cost.dtype.itemsize + 2 * ab)) * d * w
         )
 
     bb = 1
     rps = 1
-    for cand in (8, 6, 5, 4, 3, 2):
+    for cand in (10, 8, 6, 5, 4, 3, 2):
         if h % cand == 0 and vmem(1, cand) <= budget:
             rps = cand
             break
@@ -261,8 +284,8 @@ def _directional_pass_dmajor(
             grid=(b // bb, nblk),
             in_specs=[spec],
             out_specs=spec,
-            out_shape=jax.ShapeDtypeStruct(cost.shape, jnp.float32),
-            scratch_shapes=[pltpu.VMEM((len(shifts), bb, d, w), jnp.float32)],
+            out_shape=jax.ShapeDtypeStruct(cost.shape, acc_dtype),
+            scratch_shapes=[pltpu.VMEM((len(shifts), bb, d, w), acc_dtype)],
             interpret=interpret,
         )(cost)
     kernel = functools.partial(
@@ -274,7 +297,7 @@ def _directional_pass_dmajor(
         in_specs=[spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(acc.shape, acc.dtype),
-        scratch_shapes=[pltpu.VMEM((len(shifts), bb, d, w), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((len(shifts), bb, d, w), acc.dtype)],
         input_output_aliases={1: 0},
         interpret=interpret,
     )(cost, acc)
@@ -292,14 +315,20 @@ def _final_wta_kernel_dmajor(
     min_disparity: int,
     uniqueness_ratio: int,
     disp12_max_diff: int,
+    reverse: bool = True,
 ):
-    """Final (reverse) sweep fused with winner-take-all.
+    """Final sweep fused with winner-take-all.
 
     Computes the last directions' path costs, adds the accumulated
     passes, and turns the complete per-row total (BB, D, W) directly
     into validated sub-pixel disparity rows -- the aggregated volume
     never round-trips HBM and the separate WTA pass disappears. WTA
     semantics identical to ops.stereo.wta_disparity_dmajor (tested).
+
+    ``reverse=True`` is the 8-path bottom-up closing sweep; ``False``
+    is the 5-path (MODE_SGBM) top-down sweep, where the three downward
+    directions are the ONLY vertical work, so the fused pass replaces
+    both the vertical pass and the WTA.
     """
     y = pl.program_id(1)
 
@@ -309,11 +338,12 @@ def _final_wta_kernel_dmajor(
 
     c_all = cost_ref[...].astype(jnp.float32)  # (BB, RPS, D, W)
     bb, rps, nd, w = c_all.shape
-    for r in range(rps - 1, -1, -1):  # reverse sweep
+    rows = range(rps - 1, -1, -1) if reverse else range(rps)
+    for r in rows:
         c = c_all[:, r]
-        total = acc_ref[:, r]
+        total = acc_ref[:, r].astype(jnp.float32)
         for k, s in enumerate(shifts):
-            prev = carry_ref[k]
+            prev = carry_ref[k].astype(jnp.float32)
             if s != 0:
                 rolled = pltpu.roll(prev, s % w, axis=2)
                 cols = jax.lax.broadcasted_iota(jnp.int32, rolled.shape, 2)
@@ -330,7 +360,7 @@ def _final_wta_kernel_dmajor(
                 jnp.minimum(prev, m + p2), jnp.minimum(up, dn) + p1
             )
             l_new = c + best - m
-            carry_ref[k] = l_new
+            carry_ref[k] = l_new.astype(carry_ref.dtype)
             total = total + l_new
 
         # ---- winner-take-all on the complete row total (BB, D, W) ----
@@ -419,28 +449,38 @@ def sgm_wta_pallas_dmajor(
     acc_t = _directional_pass_dmajor(cost_t, acc_t, (0,), p1, p2, True, interpret)
     acc = jnp.swapaxes(acc_t, 1, 3)
 
-    if params.num_paths >= 4:
+    final_reverse = True
+    if params.num_paths == 5:
+        # MODE_SGBM (reference default): both horizontals + the three
+        # downward directions. The downward directions ARE the final
+        # (top-down) sweep, fused with WTA -- no separate vertical pass.
+        shifts = (0, 1, -1)
+        final_reverse = False
+    elif params.num_paths >= 4:
         shifts = (0, 1, -1) if params.num_paths >= 8 else (0,)
+        acc = _directional_pass_dmajor(
+            cost, acc, shifts, p1, p2, False, interpret
+        )
     else:
         # horizontal-only: the "final" pass contributes no new directions,
         # so run plain WTA on the accumulated volume instead
         from video3d_tpu.ops.stereo import wta_disparity_dmajor
 
         return wta_disparity_dmajor(acc, params)
-    acc = _directional_pass_dmajor(cost, acc, shifts, p1, p2, False, interpret)
 
-    # final reverse pass fused with WTA (tighter budget: the in-kernel
+    # final pass fused with WTA (tighter budget: the in-kernel
     # WTA needs scratch headroom for its temporaries)
     budget = 9 * 2**20
+    ab = acc.dtype.itemsize
 
     def vmem(bb, rps):
         return (
-            len(shifts) * bb * 4 * d * w
-            + 2 * bb * rps * (cost.dtype.itemsize + 4) * d * w
+            len(shifts) * bb * ab * d * w
+            + 2 * bb * rps * (cost.dtype.itemsize + ab) * d * w
         )
 
     rps = 1
-    for cand in (8, 6, 4, 3, 2):
+    for cand in (10, 8, 6, 4, 3, 2):
         if h % cand == 0 and vmem(1, cand) <= budget:
             rps = cand
             break
@@ -448,7 +488,10 @@ def sgm_wta_pallas_dmajor(
     while bb * 2 <= b and b % (bb * 2) == 0 and vmem(bb * 2, rps) <= budget:
         bb *= 2
     nblk = h // rps
-    index_map = lambda i, y: (i, nblk - 1 - y, 0, 0)
+    if final_reverse:
+        index_map = lambda i, y: (i, nblk - 1 - y, 0, 0)
+    else:
+        index_map = lambda i, y: (i, y, 0, 0)
     spec = pl.BlockSpec((bb, rps, d, w), index_map, memory_space=pltpu.VMEM)
     disp_spec = pl.BlockSpec(
         (bb, rps, 1, w), index_map, memory_space=pltpu.VMEM
@@ -461,6 +504,7 @@ def sgm_wta_pallas_dmajor(
         min_disparity=int(params.min_disparity),
         uniqueness_ratio=int(params.uniqueness_ratio),
         disp12_max_diff=int(params.disp12_max_diff),
+        reverse=final_reverse,
     )
     disp = pl.pallas_call(
         kernel,
@@ -468,7 +512,7 @@ def sgm_wta_pallas_dmajor(
         in_specs=[spec, spec],
         out_specs=disp_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, 1, w), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((len(shifts), bb, d, w), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((len(shifts), bb, d, w), acc.dtype)],
         interpret=interpret,
     )(cost, acc)
     return disp[:, :, 0, :]
@@ -494,6 +538,11 @@ def sgm_aggregate_pallas_dmajor(
     acc_t = _directional_pass_dmajor(cost_t, acc_t, (0,), p1, p2, True, interpret)
     acc = jnp.swapaxes(acc_t, 1, 3)
 
+    if num_paths == 5:
+        # MODE_SGBM direction set: + downward-only vertical/diagonals
+        return _directional_pass_dmajor(
+            cost, acc, (0, 1, -1), p1, p2, False, interpret
+        )
     if num_paths >= 4:
         shifts = (0, 1, -1) if num_paths >= 8 else (0,)
         acc = _directional_pass_dmajor(cost, acc, shifts, p1, p2, False, interpret)

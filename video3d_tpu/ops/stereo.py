@@ -53,7 +53,10 @@ class SGBMParams:
     speckle_window_size: int = 100
     speckle_range: int = 32  # whole disparities, like OpenCV DISP_SCALE units
     prefilter_cap: int = 31
-    num_paths: int = 8  # 2 (horizontal), 4 (+vertical), 8 (+diagonals)
+    # 2 = horizontal; 4 = + vertical; 5 = horizontals + downward-only
+    # vertical/diagonals (OpenCV single-pass MODE_SGBM -- the reference's
+    # default matcher mode, depth.py:314-324); 8 = all (MODE_HH)
+    num_paths: int = 5
 
     def replace(self, **kw) -> "SGBMParams":
         return dataclasses.replace(self, **kw)
@@ -138,6 +141,7 @@ def bt_cost_volume_dmajor(
     right: jnp.ndarray,
     num_disparities: int,
     min_disparity: int = 0,
+    raw_invalid: float = _SOBEL_CAP_BIG,
 ) -> jnp.ndarray:
     """BT cost volume in D-major layout: (..., H, W) -> (..., H, D, W).
 
@@ -169,7 +173,7 @@ def bt_cost_volume_dmajor(
         d_lr = jnp.maximum(0.0, jnp.maximum(left - rhi, rlo - left))
         d_rl = jnp.maximum(0.0, jnp.maximum(r - l_hi, l_lo - r))
         cost = jnp.minimum(d_lr, d_rl)
-        cost = jnp.where(xs - shift < 0, _SOBEL_CAP_BIG, cost)
+        cost = jnp.where(xs - shift < 0, raw_invalid, cost)
         slices.append(cost)
     return jnp.stack(slices, axis=-2)
 
@@ -269,6 +273,32 @@ def _scan_paths_along(
     return l_f + l_b
 
 
+def _scan_paths_one_way(
+    cost_seq: jnp.ndarray, p1: float, p2: float, lateral_shift: int = 0
+) -> jnp.ndarray:
+    """Single-direction variant of :func:`_scan_paths_along` (forward
+    along the leading axis only) -- the downward-only directions of
+    OpenCV's single-pass MODE_SGBM."""
+
+    def shift_carry(l_prev, s):
+        if s == 0:
+            return l_prev
+        rolled = jnp.roll(l_prev, s, axis=-2)
+        if s > 0:
+            rolled = rolled.at[..., :s, :].set(0.0)
+        else:
+            rolled = rolled.at[..., s:, :].set(0.0)
+        return rolled
+
+    def fwd(l_prev, c):
+        l_new = _sgm_step(shift_carry(l_prev, lateral_shift), c, p1, p2)
+        return l_new, l_new
+
+    zero = jnp.zeros_like(cost_seq[0])
+    _, l_f = jax.lax.scan(fwd, zero, cost_seq)
+    return l_f
+
+
 def sgm_aggregate(cost: jnp.ndarray, params: SGBMParams) -> jnp.ndarray:
     """Sum of directional path costs S(p, d) over 2/4/8 paths.
 
@@ -281,6 +311,19 @@ def sgm_aggregate(cost: jnp.ndarray, params: SGBMParams) -> jnp.ndarray:
     # horizontal: (W, B, H, D)
     seq_w = jnp.moveaxis(cost, 2, 0)
     total = jnp.moveaxis(_scan_paths_along(seq_w, p1, p2), 0, 2)
+
+    if params.num_paths == 5:
+        # OpenCV single-pass MODE_SGBM (the reference's default --
+        # StereoSGBM_create with no mode arg, depth.py:314-324): both
+        # horizontals + the three downward directions (N, NW, NE); no
+        # bottom-up paths.
+        seq_h = jnp.moveaxis(cost, 1, 0)  # (H, B, W, D)
+        down = (
+            _scan_paths_one_way(seq_h, p1, p2)
+            + _scan_paths_one_way(seq_h, p1, p2, lateral_shift=1)
+            + _scan_paths_one_way(seq_h, p1, p2, lateral_shift=-1)
+        )
+        return total + jnp.moveaxis(down, 0, 1)
 
     if params.num_paths >= 4:
         seq_h = jnp.moveaxis(cost, 1, 0)  # (H, B, W, D)
@@ -488,27 +531,48 @@ def sgbm_disparity(
     lf = xsobel_clip(left_gray, params.prefilter_cap)
     rf = xsobel_clip(right_gray, params.prefilter_cap)
     if jax.default_backend() == "tpu":
-        # TPU-fast path: D-major (B, D, H, W) layout end to end -- every
+        # TPU-fast path: D-major (B, H, D, W) layout end to end -- every
         # per-disparity slice is an (H, W)-minor plane with natural
-        # (8, 128) tiling -- plus a bf16 cost volume (box-aggregated BT
-        # costs <= ~4k, so bf16's ~0.4% relative error is far below the
-        # P1=600 smoothness scale) and the Pallas SGM kernel with f32
-        # accumulation.
+        # (8, 128) tiling -- plus a 2-byte cost volume and the Pallas SGM
+        # kernels. Default precision is int16 (OpenCV's own integer-cost
+        # representation): path values are exact integers bounded by
+        # 8 * (block**2 * 2*cap + P2) < 2**15, so int16 accumulation is
+        # EXACT while halving HBM traffic vs f32 and doubling the rows a
+        # VMEM budget holds. VIDEO3D_TPU_SGM_PRECISION=bf16 restores the
+        # round-1 bf16-cost/f32-acc path for A/B comparison.
+        import os
+
         from video3d_tpu.kernels.costvol import fused_cost_volume
         from video3d_tpu.kernels.sgm import sgm_wta_pallas_dmajor
 
+        use_i16 = (
+            os.environ.get("VIDEO3D_TPU_SGM_PRECISION", "int16") == "int16"
+        )
+        if use_i16:
+            # sentinel-free: out-of-frame matches cost the max valid
+            # per-pixel cost; the WTA strip mask keeps them invalid
+            cost_dtype = jnp.int16
+            raw_invalid = 2.0 * params.prefilter_cap
+        else:
+            cost_dtype = jnp.bfloat16
+            raw_invalid = BIG
         if params.min_disparity == 0 and params.num_disparities % 8 == 0:
             # fused Pallas kernel: BT cost + box window in one sweep, raw
             # volume never materialized (~10 ms/frame saved at 1080p)
             cost = fused_cost_volume(
-                lf, rf, params.num_disparities, params.block_size
+                lf, rf, params.num_disparities, params.block_size,
+                out_dtype=cost_dtype, raw_invalid=raw_invalid,
             )
         else:
             cost = bt_cost_volume_dmajor(
-                lf, rf, params.num_disparities, params.min_disparity
+                lf, rf, params.num_disparities, params.min_disparity,
+                raw_invalid=raw_invalid,
             )
             cost = box_aggregate_hw(cost, params.block_size)
-            cost = jnp.minimum(cost, BIG).astype(jnp.bfloat16)
+            if use_i16:
+                cost = jnp.round(cost).astype(jnp.int16)
+            else:
+                cost = jnp.minimum(cost, BIG).astype(jnp.bfloat16)
         disp = sgm_wta_pallas_dmajor(cost, params)
     else:
         cost = bt_cost_volume(

@@ -47,6 +47,11 @@ from video3d_tpu.ops.stereo import SGBMParams, sgbm_disparity
 STEREO_WEIGHT = 0.7
 MONO_WEIGHT = 0.3
 
+# Bumped whenever the matcher's numeric output changes for identical
+# inputs/options (e.g. the int16 cost volume + MODE_SGBM 5-path default
+# in v2), so stale caches from older binaries never alias new runs.
+ALGO_VERSION = 2
+
 
 @partial(
     jax.jit,
@@ -249,7 +254,7 @@ class StereoDepthExtractor:
     def _model_key(self) -> str:
         """Cache-key component covering every output-affecting option, so
         e.g. a ``--no-speckle`` run never aliases a speckled cache."""
-        model_key = self.model_checkpoint
+        model_key = f"{self.model_checkpoint}+a{ALGO_VERSION}"
         if self.normalize != "fixed":
             model_key += f"+norm={self.normalize}"
         if self.temporal_median:
