@@ -35,6 +35,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eps", type=float, default=1e-3,
                    help="Guided-filter regularization")
     p.add_argument("--max-frames", type=int, default=None)
+    p.add_argument("--alignment-file", default=None,
+                   help="alignment_data.json from video-3d-align; shifts the "
+                   "4K guide reader by the measured offset so guide frames "
+                   "pair with depth frames (extract_aligned.py:56-81 math)")
+    p.add_argument("--guide-start-frame", type=int, default=None,
+                   help="Explicit 4K guide start frame (overrides "
+                   "--alignment-file)")
     p.add_argument("--png16-out", action="store_true",
                    help="Write a full-precision uint16 PNG sequence instead "
                    "of an 8-bit H.264 video")
@@ -46,6 +53,21 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    guide_start = 0
+    if args.guide_start_frame is not None:
+        guide_start = args.guide_start_frame
+    elif args.alignment_file:
+        from video3d_tpu.stages.align import load_alignment_data
+        from video3d_tpu.stages.pipeline import alignment_start_frames
+
+        sbs_start, guide_start = alignment_start_frames(
+            load_alignment_data(args.alignment_file)
+        )
+        if sbs_start:
+            print(
+                f"Note: offset is negative; assuming the depth sequence was "
+                f"extracted from SBS frame {sbs_start} (guide starts at 0)"
+            )
     upscaler = DepthUpscaler(
         work_dir=args.work_dir,
         use_nvenc=args.use_nvenc,
@@ -62,6 +84,7 @@ def main(argv=None) -> int:
         force=args.force,
         max_frames=args.max_frames,
         png16_out=args.png16_out,
+        guide_start_frame=guide_start,
     )
     print(f"Depth video: {out}")
     return 0

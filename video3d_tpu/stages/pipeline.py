@@ -14,9 +14,29 @@ import time
 from pathlib import Path
 from typing import Dict, Optional
 
-from video3d_tpu.stages.align import VideoAligner
+from video3d_tpu.stages.align import VideoAligner, load_alignment_data
 from video3d_tpu.stages.depth import StereoDepthExtractor
 from video3d_tpu.stages.upscale import DepthUpscaler
+
+
+def alignment_start_frames(alignment: Dict) -> tuple:
+    """(sbs_start_frame, guide_start_frame) from an alignment artifact.
+
+    Offset semantics match the reference (extract_aligned.py:56-81,
+    align.py:119-147): an event at time ``t`` on video1's (SBS) timeline
+    occurs at ``t + offset`` on video2's (4K) timeline.  So for
+    ``offset >= 0`` the SBS stream starts at 0 and the 4K guide reader
+    skips ``offset`` seconds; for ``offset < 0`` the guide starts at 0
+    and the SBS depth extraction skips ``-offset`` seconds.  Each start
+    is converted to frames at that video's own fps and clamped at 0
+    (the reference clamps the same way, extract_aligned.py:58-62).
+    """
+    offset = float(alignment["time_offset_seconds"])
+    fps1 = float(alignment.get("video1_fps") or 0.0) or 23.976
+    fps2 = float(alignment.get("video2_fps") or 0.0) or fps1
+    if offset >= 0:
+        return 0, int(round(offset * fps2))
+    return int(round(-offset * fps1)), 0
 
 
 def run_pipeline(
@@ -47,6 +67,7 @@ def run_pipeline(
 
     # Step 1: temporal alignment (run_pipeline.py:37-59)
     alignment_file = work / "alignment_data.json"
+    alignment = None
     if not skip_alignment:
         t0 = time.time()
         aligner = VideoAligner(sbs_video, video_4k, work_dir=str(work))
@@ -63,6 +84,25 @@ def run_pipeline(
             result["stopped"] = "low_correlation"
             timings["total"] = time.time() - t_total
             return result
+    elif alignment_file.exists():
+        # resume: a prior run's offset still applies to depth/upscale
+        alignment = load_alignment_data(str(alignment_file))
+
+    # Thread the measured offset through the later stages: depth reads
+    # the SBS stream from its aligned start, and the guided upscaler
+    # shifts its 4K guide reader so guide frame i pairs with depth frame
+    # i (the reference leaves this to a manual extract_aligned pre-cut,
+    # extract_aligned.py:56-81).
+    sbs_start, guide_start = (
+        alignment_start_frames(alignment) if alignment else (0, 0)
+    )
+    if sbs_start or guide_start:
+        print(
+            f"Applying alignment offset: SBS starts at frame {sbs_start}, "
+            f"4K guide at frame {guide_start}"
+        )
+        result["sbs_start_frame"] = sbs_start
+        result["guide_start_frame"] = guide_start
 
     # Step 2: depth extraction (run_pipeline.py:61-88)
     depth_dir: Optional[Path] = None
@@ -72,7 +112,10 @@ def run_pipeline(
             work_dir=str(work), guidance=guidance, batch_size=batch_size
         )
         depth_dir = extractor.process_video_sbs(
-            sbs_video, max_frames=max_frames, force=force
+            sbs_video,
+            start_frame=sbs_start,
+            max_frames=max_frames,
+            force=force,
         )
         timings["depth"] = time.time() - t0
         result["depth_dir"] = str(depth_dir)
@@ -92,7 +135,11 @@ def run_pipeline(
         t0 = time.time()
         upscaler = DepthUpscaler(work_dir=str(work), method=upscale_method)
         output = upscaler.process_depth_upscaling(
-            str(depth_dir), video_4k, force=force, max_frames=max_frames
+            str(depth_dir),
+            video_4k,
+            force=force,
+            max_frames=max_frames,
+            guide_start_frame=guide_start,
         )
         timings["upscale"] = time.time() - t0
         result["output"] = str(output)

@@ -65,6 +65,7 @@ class DepthUpscaler:
         force: bool = False,
         max_frames: Optional[int] = None,
         png16_out: bool = False,
+        guide_start_frame: int = 0,
     ) -> Path:
         """Upscale ``depth_dir``'s PNG sequence to the 4K video's geometry.
 
@@ -73,6 +74,13 @@ class DepthUpscaler:
         mp4 path quantizes to 8 bits through yuv420p like the reference).
         Skips work if the output already exists (upscale.py:105-107)
         unless ``force``.
+
+        ``guide_start_frame`` shifts the 4K guide reader so guide frame
+        ``guide_start_frame + i`` pairs with depth frame ``i`` -- the
+        temporal-alignment offset applied on the video2 timeline (the
+        reference applies the same shift when cutting aligned segments,
+        extract_aligned.py:56-81; here it keeps the guided filter from
+        transferring edges from the wrong frames).
         """
         depth_dir = Path(depth_dir)
         frames = list_depth_frames(depth_dir)
@@ -104,6 +112,7 @@ class DepthUpscaler:
             guide_reader = iter(
                 VideoReader(
                     str(video_4k_path),
+                    start_frame=int(guide_start_frame),
                     max_frames=len(frames),
                     batch_size=self.batch_size,
                 )
