@@ -65,3 +65,44 @@ def test_guidance_fn_shapes():
     depth = np.asarray(fn(frames))
     assert depth.shape == (2, 48, 96)
     assert np.isfinite(depth).all()
+
+
+def test_safetensors_loader_matches_torch_loader(tmp_path):
+    """Direct safetensors loading (torch-free inference path) produces
+    the same guidance outputs as the torch state_dict conversion."""
+    cfg, tmodel, params = _tiny_pair(seed=3)
+    tmodel.save_pretrained(tmp_path, safe_serialization=True)
+    assert list(tmp_path.glob("*.safetensors"))
+
+    from video3d_tpu.models.dpt import load_dpt_safetensors
+
+    fn_st = load_dpt_safetensors(
+        str(tmp_path), dtype=np.float32, infer_size=cfg.image_size
+    )
+    fn_ref = make_guidance_fn(
+        DPTDepthModel(cfg), params, infer_size=cfg.image_size
+    )
+    frames = np.random.default_rng(4).uniform(
+        0, 255, size=(1, 40, 64, 3)
+    ).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(fn_st(frames)), np.asarray(fn_ref(frames)),
+        rtol=1e-5, atol=1e-5,
+    )
+
+
+def test_load_dpt_guidance_prefers_safetensors_dir(tmp_path):
+    """load_dpt_guidance on a local safetensors dir never imports the
+    torch loader path."""
+    cfg, tmodel, _ = _tiny_pair(seed=5)
+    tmodel.save_pretrained(tmp_path, safe_serialization=True)
+
+    from video3d_tpu.models.dpt import load_dpt_guidance
+
+    fn = load_dpt_guidance(str(tmp_path), dtype=np.float32,
+                           infer_size=cfg.image_size)
+    frames = np.random.default_rng(6).uniform(
+        0, 255, size=(1, 32, 48, 3)
+    ).astype(np.float32)
+    out = np.asarray(fn(frames))
+    assert out.shape == (1, 32, 48) and np.isfinite(out).all()

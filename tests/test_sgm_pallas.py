@@ -146,3 +146,33 @@ def test_int16_path_matches_f32_reference():
     d = np.abs(a - b)[both_valid]
     assert (d < 0.25).mean() > 0.98, f"agree={(d < 0.25).mean()}"
     assert np.median(d) < 0.05
+
+
+def test_acc_dtype_overflow_guard():
+    """int16 accumulation only when the worst-case path total provably
+    fits; 8-path MODE_HH at production penalties does not (44.4k > 2^15)
+    and must fall back to a float accumulator."""
+    from video3d_tpu.kernels.sgm import BIG_I16, acc_dtype_for_params
+
+    p5 = SGBMParams()  # 5-path default, P2=2400, block 5, cap 63
+    p8 = SGBMParams(num_paths=8)
+    assert acc_dtype_for_params(jnp.int16, p5) == jnp.int16
+    assert acc_dtype_for_params(jnp.int16, p8) == jnp.float32
+    assert acc_dtype_for_params(jnp.bfloat16, p5) == jnp.float32
+    cost_max = p5.block_size**2 * 2 * p5.prefilter_cap
+    assert p5.num_paths * (cost_max + p5.p2) < BIG_I16
+
+
+def test_int16_8path_worst_case_no_overflow():
+    """All-max cost volume (the overflow worst case) with 8 paths: the
+    int16-cost path must agree with the f32 path instead of wrapping."""
+    from video3d_tpu.kernels.sgm import sgm_wta_pallas_dmajor
+
+    h, w, nd = 16, 48, 8
+    p = SGBMParams(num_disparities=nd, speckle_window_size=0, num_paths=8)
+    cost_max = p.block_size**2 * 2 * p.prefilter_cap
+    worst_i16 = jnp.full((1, h, nd, w), cost_max, jnp.int16)
+    worst_f32 = worst_i16.astype(jnp.float32)
+    out_i = sgm_wta_pallas_dmajor(worst_i16, p, interpret=True)
+    out_f = sgm_wta_pallas_dmajor(worst_f32, p, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_i), np.asarray(out_f), atol=1e-3)

@@ -76,8 +76,12 @@ def main() -> None:
         _directional_pass_dmajor,
         sgm_wta_pallas_dmajor,
     )
-    from video3d_tpu.ops.speckle import speckle_filter_device
-    from video3d_tpu.ops.stereo import SGBMParams, sgbm_disparity, xsobel_clip
+    from video3d_tpu.ops.stereo import (
+        SGBMParams,
+        _speckle,
+        sgbm_disparity,
+        xsobel_clip,
+    )
     from video3d_tpu.stages.depth import depth_batch_pipeline
 
     p = SGBMParams()
@@ -141,9 +145,7 @@ def main() -> None:
             lambda a, bb: sgbm_disparity(a, bb, p, apply_speckle=False),
             (gl, gr), None),
         "speckle": (
-            lambda x: speckle_filter_device(x, invalid=-1.0,
-                                            max_diff=float(p.speckle_range),
-                                            min_region=p.speckle_window_size),
+            lambda x: _speckle(x, p),  # Pallas kernel on TPU, jnp elsewhere
             (disp,), 2 * h * w * 4),
         "pipeline_full": (
             lambda f: depth_batch_pipeline(

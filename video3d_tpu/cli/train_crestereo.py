@@ -26,19 +26,56 @@ import numpy as np
 
 
 def synthetic_batch(rng: np.random.Generator, batch: int, h: int, w: int,
-                    max_shift: int):
-    """Random smooth textures with a known constant disparity per sample."""
+                    max_shift: int, warp: bool = True,
+                    low_texture: bool = True):
+    """Synthetic stereo curriculum with analytic ground truth.
+
+    ``warp=False`` reproduces the original constant-shift pairs;
+    ``warp=True`` uses a SMOOTH spatially-varying disparity field d(y,x)
+    defined on LEFT-image coordinates: the right eye is a crisp crop of
+    the scene and the left eye is sampled at x - d(y,x) + max_shift, so
+    left pixel x matches right pixel x - d exactly -- the GT is exact
+    for ANY field, not a small-gradient approximation.  ``low_texture``
+    stamps near-constant rectangles into the scene: the regions where
+    block matching starves for signal and learned guidance must win.
+    """
     import scipy.ndimage as ndi
 
     lefts, rights, gts = [], [], []
     for _ in range(batch):
-        shift = int(rng.integers(1, max_shift))
-        base = rng.uniform(0, 255, (h, w + shift)).astype(np.float32)
+        base = rng.uniform(0, 255, (h, w + max_shift)).astype(np.float32)
         base = ndi.gaussian_filter(base, rng.uniform(1.0, 2.5))
         base = (base - base.min()) / (np.ptp(base) + 1e-6) * 255
-        lefts.append(base[:, :w])
-        rights.append(base[:, shift : shift + w])
-        gts.append(np.full((h, w), float(shift), np.float32))
+        if low_texture:
+            for _ in range(int(rng.integers(1, 4))):
+                ph = int(rng.integers(h // 6, h // 2))
+                pw = int(rng.integers(w // 6, w // 2))
+                y0 = int(rng.integers(0, h - ph))
+                x0 = int(rng.integers(0, base.shape[1] - pw))
+                flat = float(rng.uniform(40, 215))
+                patch = base[y0 : y0 + ph, x0 : x0 + pw]
+                base[y0 : y0 + ph, x0 : x0 + pw] = (
+                    flat + 0.02 * (patch - patch.mean())
+                )
+        if warp:
+            knots = rng.uniform(0.0, 1.0, (4, 5))
+            field = ndi.zoom(knots, (h / 4.0, w / 5.0), order=3)[:h, :w]
+            lo = float(rng.uniform(1.0, max(2.0, max_shift / 3)))
+            hi = float(rng.uniform(lo + 1.0, max_shift))
+            d = lo + (hi - lo) * (field - field.min()) / (
+                np.ptp(field) + 1e-6
+            )
+        else:
+            d = np.full((h, w), float(rng.integers(1, max_shift)), np.float32)
+        # right = crisp crop at column offset max_shift; left sampled at
+        # scene column max_shift + x - d(y,x) => left pixel x matches
+        # right pixel x - d exactly (GT exact for any field d)
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        left = ndi.map_coordinates(base, [yy, xx - d + max_shift], order=1,
+                                   mode="nearest")
+        lefts.append(left.astype(np.float32))
+        rights.append(base[:, max_shift:])
+        gts.append(d.astype(np.float32))
     rgb = lambda g: np.repeat(np.stack(g)[..., None], 3, axis=-1)
     return rgb(lefts), rgb(rights), np.stack(gts), np.ones((batch, h, w), np.float32)
 

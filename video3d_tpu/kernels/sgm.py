@@ -33,16 +33,40 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 BIG = 1e9
+# int16 compute sentinel: above any reachable path value (per-direction
+# l_new <= cost_max + P2 ~= 5.6k; 5-path totals <= 28k) yet far enough
+# below int16 max that sentinel + P1 cannot wrap.
+BIG_I16 = 30000
+
+
+def _sentinel_for(dtype) -> float:
+    return BIG_I16 if jnp.issubdtype(dtype, jnp.integer) else BIG
 
 
 def _acc_dtype_for(cost_dtype) -> jnp.dtype:
     """Accumulator/carry dtype for a given cost-volume dtype.
 
-    Integer (sentinel-free) cost -> int16: path values are exact
-    integers bounded by 8 * (block**2 * 2*cap + P2) ~= 31.6k < 2**15.
-    Float cost (BIG sentinel) -> f32.
+    Integer (sentinel-free) cost -> int16 (see :func:`acc_dtype_for_params`
+    for the exactness bound); float cost (BIG sentinel) -> f32.
     """
     return jnp.int16 if jnp.issubdtype(cost_dtype, jnp.integer) else jnp.float32
+
+
+def acc_dtype_for_params(cost_dtype, params) -> jnp.dtype:
+    """Accumulator dtype that provably cannot overflow for ``params``.
+
+    A single direction's path value is bounded by cost_max + P2 where
+    cost_max = block**2 * 2 * prefilter_cap (BT cost after the x-Sobel
+    clip, summed over the matching window); the aggregated total is
+    num_paths times that. int16 accumulation is exact iff the total
+    stays below the BIG_I16 sentinel (5-path default: 5 * 5550 = 27.8k
+    fits; 8-path MODE_HH: 44.4k does NOT -- it gets f32).
+    """
+    if not jnp.issubdtype(cost_dtype, jnp.integer):
+        return jnp.float32
+    cost_max = params.block_size**2 * 2 * params.prefilter_cap
+    bound = params.num_paths * (cost_max + params.p2)
+    return jnp.int16 if bound < BIG_I16 else jnp.float32
 
 
 def _row_kernel(
@@ -191,36 +215,44 @@ def _row_kernel_dmajor(
     def _():
         carry_ref[...] = jnp.zeros_like(carry_ref)
 
-    c_all = cost_ref[...].astype(jnp.float32)  # (BB, RPS, D, W)
+    # compute in f32 (exact: all path values are integers < 2**24) with
+    # f32 VMEM carries, so the only dtype conversions in this VPU-issue-
+    # bound loop are at the HBM block boundaries (cost/acc/out). Mosaic
+    # cannot reduce over int16, so native-int16 compute is not an option.
+    ct = jnp.float32
+    sent = _sentinel_for(ct)
+    p1c = jnp.asarray(p1, ct)
+    p2c = jnp.asarray(p2, ct)
+    c_all = cost_ref[...].astype(ct)  # (BB, RPS, D, W)
     rps = c_all.shape[1]
     w = c_all.shape[-1]
     rows = range(rps - 1, -1, -1) if reverse else range(rps)
     for r in rows:
         c = c_all[:, r]  # (BB, D, W)
         total = (
-            acc_ref[:, r].astype(jnp.float32)
+            acc_ref[:, r].astype(ct)
             if acc_ref is not None
             else jnp.zeros_like(c)
         )
         for k, s in enumerate(shifts):
-            prev = carry_ref[k].astype(jnp.float32)  # (BB, D, W)
+            prev = carry_ref[k]  # (BB, D, W)
             if s != 0:
                 rolled = pltpu.roll(prev, s % w, axis=2)
                 cols = jax.lax.broadcasted_iota(jnp.int32, rolled.shape, 2)
                 edge = cols < s if s > 0 else cols >= w + s
-                prev = jnp.where(edge, 0.0, rolled)
+                prev = jnp.where(edge, jnp.asarray(0, ct), rolled)
             m = jnp.min(prev, axis=1, keepdims=True)  # (BB, 1, W)
             up = jnp.concatenate(
-                [prev[:, 1:, :], jnp.full_like(prev[:, :1, :], BIG)], axis=1
+                [prev[:, 1:, :], jnp.full_like(prev[:, :1, :], sent)], axis=1
             )
             dn = jnp.concatenate(
-                [jnp.full_like(prev[:, :1, :], BIG), prev[:, :-1, :]], axis=1
+                [jnp.full_like(prev[:, :1, :], sent), prev[:, :-1, :]], axis=1
             )
             best = jnp.minimum(
-                jnp.minimum(prev, m + p2), jnp.minimum(up, dn) + p1
+                jnp.minimum(prev, m + p2c), jnp.minimum(up, dn) + p1c
             )
             l_new = c + best - m
-            carry_ref[k] = l_new.astype(carry_ref.dtype)
+            carry_ref[k] = l_new
             total = total + l_new
         out_ref[:, r] = total.astype(out_ref.dtype)
 
@@ -233,27 +265,34 @@ def _directional_pass_dmajor(
     p2: float,
     reverse: bool,
     interpret: bool = False,
+    acc_dtype=None,
 ) -> jnp.ndarray:
     """Sweep over axis 1 (scan lines) of (B, R, D, W), adding into acc.
 
     ``acc=None`` starts a fresh accumulation (no zeros round-trip
-    through HBM for the first pass). The accumulator/carry dtype follows
-    the cost dtype: an integer cost volume (int16, sentinel-free -- see
-    costvol.fused_cost_volume raw_invalid) uses int16 accumulation
-    (OpenCV's own representation; exact, since every path value is an
-    integer <= 8 * (cost_max + P2) < 2**15), halving HBM traffic and
-    doubling the rows a VMEM budget can hold.
+    through HBM for the first pass); ``acc_dtype`` then picks the
+    accumulator dtype (callers should use :func:`acc_dtype_for_params`,
+    which proves int16 exactness for the given path count/penalties --
+    an integer cost volume is sentinel-free, see costvol.
+    fused_cost_volume raw_invalid). int16 accumulation halves HBM
+    traffic and doubles the rows a VMEM budget can hold, and the kernel
+    computes natively in the carry dtype so no per-element conversions
+    remain in the sweep.
     """
     b, h, d, w = cost.shape
-    acc_dtype = acc.dtype if acc is not None else _acc_dtype_for(cost.dtype)
+    if acc is not None:
+        acc_dtype = acc.dtype
+    elif acc_dtype is None:
+        acc_dtype = _acc_dtype_for(cost.dtype)
     ab = jnp.dtype(acc_dtype).itemsize
     # pick (block-batch, rows-per-step) to fill the VMEM budget: carry is
-    # len(shifts)*bb*d*w at acc dtype; cost/acc/out blocks double-buffered
+    # len(shifts)*bb*d*w at f32 (compute dtype); cost/acc/out blocks
+    # double-buffered at their storage dtypes
     budget = 14 * 2**20
 
     def vmem(bb, rps):
         return (
-            len(shifts) * bb * ab * d * w
+            len(shifts) * bb * 4 * d * w
             + 2 * (bb * rps * (cost.dtype.itemsize + 2 * ab)) * d * w
         )
 
@@ -285,7 +324,7 @@ def _directional_pass_dmajor(
             in_specs=[spec],
             out_specs=spec,
             out_shape=jax.ShapeDtypeStruct(cost.shape, acc_dtype),
-            scratch_shapes=[pltpu.VMEM((len(shifts), bb, d, w), acc_dtype)],
+            scratch_shapes=[pltpu.VMEM((len(shifts), bb, d, w), jnp.float32)],
             interpret=interpret,
         )(cost)
     kernel = functools.partial(
@@ -297,7 +336,7 @@ def _directional_pass_dmajor(
         in_specs=[spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct(acc.shape, acc.dtype),
-        scratch_shapes=[pltpu.VMEM((len(shifts), bb, d, w), acc.dtype)],
+        scratch_shapes=[pltpu.VMEM((len(shifts), bb, d, w), jnp.float32)],
         input_output_aliases={1: 0},
         interpret=interpret,
     )(cost, acc)
@@ -336,46 +375,57 @@ def _final_wta_kernel_dmajor(
     def _():
         carry_ref[...] = jnp.zeros_like(carry_ref)
 
-    c_all = cost_ref[...].astype(jnp.float32)  # (BB, RPS, D, W)
+    ct = jnp.float32  # f32 compute, f32 carries (see _row_kernel_dmajor)
+    sent = _sentinel_for(ct)
+    p1c = jnp.asarray(p1, ct)
+    p2c = jnp.asarray(p2, ct)
+    c_all = cost_ref[...].astype(ct)  # (BB, RPS, D, W)
     bb, rps, nd, w = c_all.shape
     rows = range(rps - 1, -1, -1) if reverse else range(rps)
     for r in rows:
         c = c_all[:, r]
-        total = acc_ref[:, r].astype(jnp.float32)
+        total = acc_ref[:, r].astype(ct)
         for k, s in enumerate(shifts):
-            prev = carry_ref[k].astype(jnp.float32)
+            prev = carry_ref[k]
             if s != 0:
                 rolled = pltpu.roll(prev, s % w, axis=2)
                 cols = jax.lax.broadcasted_iota(jnp.int32, rolled.shape, 2)
                 edge = cols < s if s > 0 else cols >= w + s
-                prev = jnp.where(edge, 0.0, rolled)
+                prev = jnp.where(edge, jnp.asarray(0, ct), rolled)
             m = jnp.min(prev, axis=1, keepdims=True)
             up = jnp.concatenate(
-                [prev[:, 1:, :], jnp.full_like(prev[:, :1, :], BIG)], axis=1
+                [prev[:, 1:, :], jnp.full_like(prev[:, :1, :], sent)], axis=1
             )
             dn = jnp.concatenate(
-                [jnp.full_like(prev[:, :1, :], BIG), prev[:, :-1, :]], axis=1
+                [jnp.full_like(prev[:, :1, :], sent), prev[:, :-1, :]], axis=1
             )
             best = jnp.minimum(
-                jnp.minimum(prev, m + p2), jnp.minimum(up, dn) + p1
+                jnp.minimum(prev, m + p2c), jnp.minimum(up, dn) + p1c
             )
             l_new = c + best - m
-            carry_ref[k] = l_new.astype(carry_ref.dtype)
+            carry_ref[k] = l_new
             total = total + l_new
 
         # ---- winner-take-all on the complete row total (BB, D, W) ----
+        # reductions/selects stay in the compute dtype; only the selected
+        # (BB, W) planes are promoted to f32 for the sub-pixel math
         d_iota = jax.lax.broadcasted_iota(jnp.int32, total.shape, 1)
         s_min_k = jnp.min(total, axis=1, keepdims=True)  # (BB, 1, W)
         is_min = total == s_min_k
         d_int = jnp.min(
             jnp.where(is_min, d_iota, nd), axis=1
         )  # (BB, W); first minimum like argmin
-        s_min = s_min_k[:, 0]
+        s_min = s_min_k[:, 0].astype(jnp.float32)
         dn_t = jnp.concatenate([total[:, :1], total[:, :-1]], axis=1)
         up_t = jnp.concatenate([total[:, 1:], total[:, -1:]], axis=1)
         onehot = d_iota == d_int[:, None, :]
-        s_m1 = jnp.sum(jnp.where(onehot, dn_t, 0.0), axis=1)
-        s_p1 = jnp.sum(jnp.where(onehot, up_t, 0.0), axis=1)
+        zero = jnp.asarray(0, ct)
+        s_m1 = jnp.sum(jnp.where(onehot, dn_t, zero), axis=1).astype(
+            jnp.float32
+        )
+        s_p1 = jnp.sum(jnp.where(onehot, up_t, zero), axis=1).astype(
+            jnp.float32
+        )
         denom = s_m1 + s_p1 - 2.0 * s_min
         sub = jnp.where(
             denom > 1e-6, (s_m1 - s_p1) / (2.0 * denom + 1e-12), 0.0
@@ -390,39 +440,65 @@ def _final_wta_kernel_dmajor(
 
         if uniqueness_ratio > 0:
             near = jnp.abs(d_iota - d_int[:, None, :]) <= 1
-            second = jnp.min(jnp.where(near, BIG, total), axis=1)
+            second = jnp.min(
+                jnp.where(near, jnp.asarray(sent, ct), total), axis=1
+            ).astype(jnp.float32)
             valid &= second * 100.0 >= s_min * (100.0 + uniqueness_ratio)
 
         if disp12_max_diff >= 0:
-            # lane-dim shifts as rolls + iota masks: Mosaic cannot concat
-            # lane slices at non-128-aligned offsets ("result/input
-            # offset mismatch on non-concat dimension")
-            best_r = jnp.full_like(s_min, BIG)
-            d_right = jnp.zeros_like(s_min)
-            for dd in range(nd):
-                shift = dd + min_disparity
-                plane = total[:, dd]  # (BB, W)
-                if shift > 0:
-                    rolled = pltpu.roll(plane, (w - shift) % w, axis=1)
-                    plane = jnp.where(x_iota >= w - shift, BIG, rolled)
-                better = plane < best_r
-                best_r = jnp.where(better, plane, best_r)
-                d_right = jnp.where(better, jnp.float32(dd), d_right)
+            # right-image WTA via ONE sheared view of the row total:
+            # shear[b, d, x] = total[b, d, x + d + min_disparity (mod w)]
+            # is exactly the right-disparity hypothesis surface, so the
+            # 2*nd sequential lane-rolls collapse to two stride-rolls.
+            # Mosaic only lowers small strides, so the required -1
+            # per-sublane step becomes: flip the disparity axis with an
+            # MXU permutation matmul (exact in f32), then stride +1.
+            rev = (
+                jax.lax.broadcasted_iota(jnp.int32, (nd, nd), 0)
+                + jax.lax.broadcasted_iota(jnp.int32, (nd, nd), 1)
+                == nd - 1
+            ).astype(jnp.float32)
+            flipped = jnp.stack(
+                [
+                    jnp.dot(rev, total[i], preferred_element_type=jnp.float32)
+                    for i in range(bb)
+                ]
+            )  # flipped[b, d', x] = total[b, nd-1-d', x]
+            shear = pltpu.roll(
+                flipped,
+                (w - min_disparity - (nd - 1)) % w,
+                axis=2,
+                stride=1,
+                stride_axis=1,
+            )  # shear[b, d', x] = total[b, d, x + d + md], d = nd-1-d'
+            # columns wrapped past the right edge are invalid hypotheses
+            d_rev = nd - 1 - d_iota  # original-d index per flipped sublane
+            wrap = x_iota[:, None, :] >= w - min_disparity - d_rev
+            shear = jnp.where(wrap, jnp.asarray(sent, ct), shear)
+            best_r_k = jnp.min(shear, axis=1, keepdims=True)
+            # first minimum in ORIGINAL d order = smallest d among ties
+            d_right = jnp.min(
+                jnp.where(shear == best_r_k, d_rev, nd), axis=1
+            ).astype(jnp.float32)  # (BB, W)
             d_round = jnp.clip(
                 jnp.round(disp - min_disparity).astype(jnp.int32), 0, nd - 1
             )
             dl = disp - min_disparity
-            lr_ok = jnp.zeros(disp.shape, bool)
-            for dd in range(nd):
-                shift = dd + min_disparity
-                plane = d_right
-                if shift > 0:
-                    # wrapped head lands only on x < shift, always inside
-                    # the invalid strip (x < min_disparity + nd)
-                    plane = pltpu.roll(plane, shift, axis=1)
-                lr_ok |= (d_round == dd) & (
-                    jnp.abs(dl - plane) <= float(disp12_max_diff)
-                )
+            # gather d_right at x - (d_left + min_disparity): shear the
+            # broadcast d_right the opposite way and select plane d_round
+            d_right_b = jnp.broadcast_to(d_right[:, None, :], total.shape)
+            shear2 = pltpu.roll(
+                d_right_b,
+                min_disparity % w if min_disparity else 0,
+                axis=2,
+                stride=1,
+                stride_axis=1,
+            )
+            sel = d_iota == d_round[:, None, :]
+            d_right_at = jnp.sum(
+                jnp.where(sel, shear2, 0.0), axis=1
+            )  # (BB, W)
+            lr_ok = jnp.abs(dl - d_right_at) <= float(disp12_max_diff)
             valid &= lr_ok
 
         disp_ref[:, r, 0, :] = jnp.where(
@@ -443,9 +519,12 @@ def sgm_wta_pallas_dmajor(
     """
     p1, p2 = float(params.p1), float(params.p2)
     b, h, d, w = cost.shape
+    acc_dtype = acc_dtype_for_params(cost.dtype, params)
 
     cost_t = jnp.swapaxes(cost, 1, 3)  # (B, W, D, H)
-    acc_t = _directional_pass_dmajor(cost_t, None, (0,), p1, p2, False, interpret)
+    acc_t = _directional_pass_dmajor(
+        cost_t, None, (0,), p1, p2, False, interpret, acc_dtype=acc_dtype
+    )
     acc_t = _directional_pass_dmajor(cost_t, acc_t, (0,), p1, p2, True, interpret)
     acc = jnp.swapaxes(acc_t, 1, 3)
 
@@ -475,7 +554,7 @@ def sgm_wta_pallas_dmajor(
 
     def vmem(bb, rps):
         return (
-            len(shifts) * bb * ab * d * w
+            len(shifts) * bb * 4 * d * w
             + 2 * bb * rps * (cost.dtype.itemsize + ab) * d * w
         )
 
@@ -512,7 +591,7 @@ def sgm_wta_pallas_dmajor(
         in_specs=[spec, spec],
         out_specs=disp_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, 1, w), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((len(shifts), bb, d, w), acc.dtype)],
+        scratch_shapes=[pltpu.VMEM((len(shifts), bb, d, w), jnp.float32)],
         interpret=interpret,
     )(cost, acc)
     return disp[:, :, 0, :]

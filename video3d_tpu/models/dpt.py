@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import lru_cache
-from typing import Any, Dict, List, Sequence
+from typing import Any, Dict, List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -423,10 +423,19 @@ def load_dpt_guidance(
     """Build a jit-compatible guidance fn from a local HF torch checkpoint.
 
     Returns ``fn(left_rgb_f32_0_255: (B, H, W, 3)) -> (B, H, W)`` relative
-    depth. Raises if the checkpoint is not available locally (no-network
-    environments); callers degrade to stereo-only (reference
-    depth.py:107-114 contract).
+    depth. A local directory containing ``*.safetensors`` is loaded
+    torch-free via :func:`load_dpt_safetensors`; otherwise falls back to
+    the transformers/torch loader. Raises if the checkpoint is not
+    available locally (no-network environments); callers degrade to
+    stereo-only (reference depth.py:107-114 contract).
     """
+    from pathlib import Path
+
+    p = Path(checkpoint)
+    if p.is_dir() and any(p.glob("*.safetensors")):
+        return load_dpt_safetensors(checkpoint, dtype=dtype,
+                                    infer_size=infer_size)
+
     import transformers
 
     torch_model = transformers.DPTForDepthEstimation.from_pretrained(
@@ -451,6 +460,74 @@ def load_dpt_guidance(
     del torch_model
     params = jax.tree.map(lambda a: a.astype(dtype), params)
     model = DPTDepthModel(cfg)
+    return make_guidance_fn(model, params, infer_size=infer_size, dtype=dtype)
+
+
+def load_dpt_safetensors(
+    model_dir: str,
+    dtype: jnp.dtype = jnp.bfloat16,
+    infer_size: int = 384,
+):
+    """Load DPT guidance straight from an HF checkpoint directory
+    (``config.json`` + ``*.safetensors``) WITHOUT importing torch.
+
+    The reference hard-requires torch+CUDA to run DPT (depth.py:74-82);
+    here torch is only an optional conversion convenience -- inference
+    needs nothing but the safetensors file. Weight names are the HF
+    ``DPTForDepthEstimation`` state_dict names (safetensors preserves
+    them), mapped by :func:`convert_torch_state_dict`.
+    """
+    import json
+    from pathlib import Path
+
+    from safetensors.numpy import load_file
+
+    d = Path(model_dir)
+    hf = json.loads((d / "config.json").read_text())
+    cfg = DPTConfig(
+        image_size=hf.get("image_size", 384),
+        patch_size=hf.get("patch_size", 16),
+        num_channels=hf.get("num_channels", 3),
+        hidden_size=hf.get("hidden_size", 1024),
+        num_hidden_layers=hf.get("num_hidden_layers", 24),
+        num_attention_heads=hf.get("num_attention_heads", 16),
+        intermediate_size=hf.get("intermediate_size", 4096),
+        layer_norm_eps=hf.get("layer_norm_eps", 1e-12),
+        backbone_out_indices=tuple(hf.get("backbone_out_indices",
+                                          (5, 11, 17, 23))),
+        neck_hidden_sizes=tuple(hf.get("neck_hidden_sizes",
+                                       (256, 512, 1024, 1024))),
+        readout_type=hf.get("readout_type", "project"),
+        fusion_hidden_size=hf.get("fusion_hidden_size", 256),
+    )
+    files = sorted(d.glob("*.safetensors"))
+    if not files:
+        raise FileNotFoundError(f"no .safetensors files in {model_dir}")
+    sd: Dict[str, Any] = {}
+    for f in files:
+        sd.update(load_file(str(f)))
+    params = convert_torch_state_dict(sd, cfg)
+    params = jax.tree.map(lambda a: a.astype(dtype), params)
+    return make_guidance_fn(DPTDepthModel(cfg), params,
+                            infer_size=infer_size, dtype=dtype)
+
+
+def random_dpt_guidance(
+    cfg: Optional[DPTConfig] = None,
+    seed: int = 0,
+    dtype: jnp.dtype = jnp.bfloat16,
+    infer_size: int = 384,
+):
+    """Guidance fn with randomly initialized weights (for benchmarks and
+    load tests in checkpoint-less environments: throughput and memory are
+    weight-independent). NOT a substitute for real weights in quality."""
+    cfg = cfg or DPTConfig.dpt_large()
+    model = DPTDepthModel(cfg)
+    params = model.init(
+        jax.random.PRNGKey(seed),
+        jnp.zeros((1, infer_size, infer_size, 3), jnp.float32),
+    )
+    params = jax.tree.map(lambda a: a.astype(dtype), params)
     return make_guidance_fn(model, params, infer_size=infer_size, dtype=dtype)
 
 

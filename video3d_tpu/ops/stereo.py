@@ -535,11 +535,13 @@ def sgbm_disparity(
         # per-disparity slice is an (H, W)-minor plane with natural
         # (8, 128) tiling -- plus a 2-byte cost volume and the Pallas SGM
         # kernels. Default precision is int16 (OpenCV's own integer-cost
-        # representation): path values are exact integers bounded by
-        # 8 * (block**2 * 2*cap + P2) < 2**15, so int16 accumulation is
-        # EXACT while halving HBM traffic vs f32 and doubling the rows a
-        # VMEM budget holds. VIDEO3D_TPU_SGM_PRECISION=bf16 restores the
-        # round-1 bf16-cost/f32-acc path for A/B comparison.
+        # representation): path values are exact integers, and the
+        # aggregation picks an accumulator dtype that provably cannot
+        # overflow for the given params (kernels.sgm.acc_dtype_for_params:
+        # 5-path totals fit int16; 8-path MODE_HH gets f32), so int16
+        # halves HBM traffic vs f32 and doubles the rows a VMEM budget
+        # holds with no numeric deviation. VIDEO3D_TPU_SGM_PRECISION=bf16
+        # restores the round-1 bf16-cost/f32-acc path for A/B comparison.
         import os
 
         from video3d_tpu.kernels.costvol import fused_cost_volume
@@ -584,12 +586,29 @@ def sgbm_disparity(
         agg = sgm_aggregate(cost, params)
         disp = wta_disparity(agg, params)
     if apply_speckle and params.speckle_window_size > 0:
-        from video3d_tpu.ops.speckle import speckle_filter_device
-
-        disp = speckle_filter_device(
-            disp,
-            invalid=INVALID(params),
-            max_diff=float(params.speckle_range),
-            min_region=params.speckle_window_size,
-        )
+        disp = _speckle(disp, params)
     return disp
+
+
+def _speckle(disp: jnp.ndarray, params: SGBMParams) -> jnp.ndarray:
+    """Banded-vote speckle filter: one Pallas kernel on TPU (bit-identical
+    to the jnp formulation, ~6x fewer ms/frame), jnp elsewhere."""
+    import math
+
+    kwargs = dict(
+        invalid=INVALID(params),
+        max_diff=float(params.speckle_range),
+        min_region=params.speckle_window_size,
+    )
+    if jax.default_backend() == "tpu":
+        from video3d_tpu.kernels.speckle import (
+            speckle_block_rows,
+            speckle_filter_pallas,
+        )
+
+        radius = max(2, int(math.ceil(math.sqrt(params.speckle_window_size))))
+        if speckle_block_rows(disp.shape[-2], radius) is not None:
+            return speckle_filter_pallas(disp, **kwargs)
+    from video3d_tpu.ops.speckle import speckle_filter_device
+
+    return speckle_filter_device(disp, **kwargs)
