@@ -50,19 +50,24 @@ def emit(metric, value, unit, vs_baseline=None, **extra):
     return row
 
 
-def chain_loop(fn, x0, n_iters):
+def chain_loop(fn, x0, n_iters, extras=()):
     """Time n_iters dependency-chained evaluations compiled as ONE
     program (async completion through the device relay reports early and
-    per-iteration host syncs measure relay RTT, not kernel time)."""
+    per-iteration host syncs measure relay RTT, not kernel time).
+
+    ``extras`` (guide frames, model weights, ...) are passed to ``fn``
+    as jit ARGUMENTS -- closing over large arrays would embed them as
+    constants in the lowered program (and overflow remote-compile
+    payload limits on tunnel hosts)."""
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     @jax.jit
-    def loop(x):
+    def loop(x, *ex):
         def body(_, carry):
             x, acc = carry
-            out = fn(x)
+            out = fn(x, *ex)
             s = jnp.sum(out.astype(jnp.uint32))
             x = x ^ (s % 2).astype(x.dtype)
             return x, acc + s
@@ -70,9 +75,10 @@ def chain_loop(fn, x0, n_iters):
         return lax.fori_loop(0, n_iters, body, (x, jnp.uint32(0)))[1]
 
     x = jax.device_put(x0)
-    assert int(loop(x)) >= 0  # compile + warmup
+    extras = tuple(jax.device_put(e) for e in extras)
+    assert int(loop(x, *extras)) >= 0  # compile + warmup
     t0 = time.perf_counter()
-    checksum = int(loop(x))
+    checksum = int(loop(x, *extras))
     dt = time.perf_counter() - t0
     assert checksum >= 0
     return dt
@@ -100,21 +106,18 @@ def bench_align():
 
 def bench_upscale():
     """(3) guided-filter depth upscale 1080p -> 4K."""
-    import jax
-
     from video3d_tpu.ops.guided import guided_upsample
 
     b = 4  # DepthUpscaler's default batch -- e2e reuses this compile
     rng = np.random.default_rng(1)
     depth = rng.integers(0, 65535, (b, 1080, 1920)).astype(np.uint16)
-    guide = rng.integers(0, 255, (b, 2160, 3840, 3)).astype(np.uint8)
-    guide_dev = jax.device_put(guide.astype(np.float32))
+    guide = rng.integers(0, 255, (b, 2160, 3840, 3)).astype(np.float32)
 
-    def fn(d):
-        return guided_upsample(d, guide_dev, 2160, 3840, radius=8, eps=1e-3)
+    def fn(d, g):
+        return guided_upsample(d, g, 2160, 3840, radius=8, eps=1e-3)
 
     n_iters = 8
-    dt = chain_loop(fn, depth, n_iters)
+    dt = chain_loop(fn, depth, n_iters, extras=(guide,))
     fps = b * n_iters / dt
     emit("guided_upscale_4k_fps_per_chip", fps, "frames/sec")
 
@@ -135,14 +138,14 @@ def bench_hybrid():
     rng = np.random.default_rng(2)
     frames = rng.integers(0, 255, (b, 1080, 1920, 3), dtype=np.uint8)
 
-    def fn(x):
+    def fn(x, p):
         return depth_batch_pipeline(
             x, params=SGBMParams(), unsqueeze=True, normalize="fixed",
-            apply_speckle=True, guidance_fn=guidance_fn,
+            apply_speckle=True, guidance_fn=guidance_fn, guidance_params=p,
         )
 
     n_iters = 4
-    dt = chain_loop(fn, frames, n_iters)
+    dt = chain_loop(fn, frames, n_iters, extras=(guidance_fn.params,))
     fps = b * n_iters / dt
     emit("hybrid_dpt_depth_fps_per_chip", fps, "frames/sec",
          note="random-init DPT-large weights; checkpoint not fetchable")

@@ -131,3 +131,21 @@ def test_model_key_covers_speckle_and_sgbm_params(tmp_path):
     # defaults: plain checkpoint name + algorithm version token
     from video3d_tpu.stages.depth import ALGO_VERSION
     assert base == f"stereo_only+a{ALGO_VERSION}"
+
+
+def test_auto_batch_size_scales_with_memory(monkeypatch):
+    """Guardrail for the analytic batch-size model: scales with frame
+    volume and precision, never exceeds the measured-flat cap of 8,
+    never returns 0 on tiny-memory devices."""
+    ext = StereoDepthExtractor(work_dir="/tmp/_abs_test")
+    b_1080 = ext._auto_batch_size(1080, 1920)
+    assert 1 <= b_1080 <= 8
+    # quarter-res frames fit at least as many
+    assert ext._auto_batch_size(270, 480) >= b_1080
+    # bf16 path has a larger live set -> never a larger batch
+    import os
+    os.environ["VIDEO3D_TPU_SGM_PRECISION"] = "bf16"
+    try:
+        assert ext._auto_batch_size(1080, 1920) <= b_1080
+    finally:
+        del os.environ["VIDEO3D_TPU_SGM_PRECISION"]

@@ -78,10 +78,10 @@ def test_pallas_speckle_removes_blobs_keeps_surface():
 
 
 def test_block_rows_selection():
-    assert speckle_block_rows(1080, 10) == 40  # largest 8-multiple divisor
+    assert speckle_block_rows(1080, 10) == 72  # largest 8-multiple divisor
     assert speckle_block_rows(80, 3) == 40
     assert speckle_block_rows(48, 10) == 48
-    assert speckle_block_rows(2160, 10) == 48  # 4K
+    assert speckle_block_rows(2160, 10) == 72  # 4K
     assert speckle_block_rows(22, 10) == 22  # full-height single block
     assert speckle_block_rows(11, 10) == 11
     assert speckle_block_rows(13, 12) == 13

@@ -214,9 +214,11 @@ def speckle_filter_pallas(
 def speckle_block_rows(h: int, radius: int) -> int | None:
     """Row-block size: Mosaic requires the block's sublane dim be a
     multiple of 8 or span the whole array, so pick the largest multiple
-    of 8 dividing ``h`` in (radius, 64]; small frames (h <= 128) run as
-    one full-height block. None -> caller uses the jnp fallback."""
-    for cand in range(64, radius, -8):
+    of 8 dividing ``h`` in (radius, 72] (the kernel is grid-step-bound,
+    so deeper blocks win until the ring + block buffers near the VMEM
+    budget); small frames (h <= 128) run as one full-height block.
+    None -> caller uses the jnp fallback."""
+    for cand in range(72, radius, -8):
         if cand % 8 == 0 and h % cand == 0:
             return cand
     if radius < h <= 128:

@@ -240,9 +240,10 @@ def load_crestereo_guidance(checkpoint: str,
         )
     params = load_checkpoint(checkpoint)
     model = CREStereoLite(cfg)
+    from video3d_tpu.models.guidance import GuidanceFn
 
-    def guidance(left_rgb: jnp.ndarray, right_rgb: jnp.ndarray) -> jnp.ndarray:
-        return model.apply(params, left_rgb, right_rgb)
-
-    guidance.stereo = True  # consumes both eyes (see stages/depth.py)
-    return guidance
+    return GuidanceFn(
+        lambda p, left, right: model.apply(p, left, right),
+        params,
+        stereo=True,  # consumes both eyes (see stages/depth.py)
+    )

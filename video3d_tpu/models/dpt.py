@@ -533,10 +533,15 @@ def random_dpt_guidance(
 
 def make_guidance_fn(model: DPTDepthModel, params, infer_size: int = 384,
                      dtype: jnp.dtype = jnp.float32):
-    """Wrap (model, params) as a pure guidance fn for the depth stage."""
+    """Wrap (model, params) as a guidance fn for the depth stage.
+
+    Returns a :class:`~video3d_tpu.models.guidance.GuidanceFn`, so the
+    weights are passed to the jitted pipeline as a traced ARGUMENT
+    (``guidance_params``), not baked into the program as constants."""
+    from video3d_tpu.models.guidance import GuidanceFn
     from video3d_tpu.ops.image import resize2d
 
-    def guidance(left_rgb: jnp.ndarray) -> jnp.ndarray:
+    def apply_fn(p, left_rgb: jnp.ndarray) -> jnp.ndarray:
         b, h, w, _ = left_rgb.shape
         x = left_rgb / 255.0
         x = (x - DPT_MEAN) / DPT_STD
@@ -546,7 +551,7 @@ def make_guidance_fn(model: DPTDepthModel, params, infer_size: int = 384,
                      method="bilinear"),
             1, -1,
         )
-        depth = model.apply(params, x.astype(dtype)).astype(jnp.float32)
+        depth = model.apply(p, x.astype(dtype)).astype(jnp.float32)
         return resize2d(depth, h, w, method="bilinear")
 
-    return guidance
+    return GuidanceFn(apply_fn, params)

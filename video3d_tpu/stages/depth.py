@@ -70,6 +70,7 @@ def depth_batch_pipeline(
     normalize: str = "fixed",
     apply_speckle: bool = True,
     guidance_fn: Optional[Callable] = None,
+    guidance_params=None,
 ) -> jnp.ndarray:
     """uint8 SBS RGB batch (B, H, W, 3) -> uint16 depth batch (B, H, W').
 
@@ -77,6 +78,11 @@ def depth_batch_pipeline(
     program. ``guidance_fn``, when given, maps the float32 RGB left-eye
     batch (B, H, W', 3) in [0, 255] to relative depth (B, H, W') and is
     blended 0.7/0.3 after scaling to [0, num_disparities].
+
+    ``guidance_params``: the guidance network's weight pytree, passed as
+    a TRACED argument so large models aren't baked into the compiled
+    program as constants (models/guidance.py); when None, ``guidance_fn``
+    may be a plain closure that carries its own weights.
     """
     left, right = split_sbs(frames)  # (B, H, W/2, 3) uint8
     left = left.astype(jnp.float32)
@@ -97,9 +103,17 @@ def depth_batch_pipeline(
         if getattr(guidance_fn, "stereo", False):
             # stereo guidance (e.g. CREStereo) predicts true disparity in
             # pixels from both eyes; blend directly
-            guide = guidance_fn(left, right)
+            guide = (
+                guidance_fn(left, right, params=guidance_params)
+                if guidance_params is not None
+                else guidance_fn(left, right)
+            )
         else:
-            mono = guidance_fn(left)  # (B, H, W') relative depth
+            mono = (
+                guidance_fn(left, params=guidance_params)
+                if guidance_params is not None
+                else guidance_fn(left)
+            )  # (B, H, W') relative depth
             # normalize to [0, num_disparities] per frame (depth.py:358-360)
             mmin = jnp.min(mono, axis=(-2, -1), keepdims=True)
             mmax = jnp.max(mono, axis=(-2, -1), keepdims=True)
@@ -190,8 +204,20 @@ class StereoDepthExtractor:
 
     def _auto_batch_size(self, height: int, width: int) -> int:
         """Batch size from device memory (reference autotunes from VRAM,
-        depth.py:86-102). The SGM cost volume dominates: per frame
-        ~4 * H * W' * D bytes plus ~6x transient copies under scan."""
+        depth.py:86-102).
+
+        The peak live set is during the horizontal SGM passes: the cost
+        volume in both layouts plus the accumulator, all H*W'*D, at the
+        active precision's byte widths (int16 cost/acc on the default
+        TPU path, bf16 cost + f32 acc under
+        VIDEO3D_TPU_SGM_PRECISION=bf16), plus ~1.5x headroom for XLA
+        transpose double-buffering. Capped at 8: measured throughput is
+        flat past batch 8 at 1080p (the Pallas kernels' internal
+        block-batching already amortizes grid-step overhead), so larger
+        batches only add latency and decode buffering.
+        """
+        import os
+
         try:
             dev = jax.devices()[0]
             stats = dev.memory_stats() or {}
@@ -199,10 +225,11 @@ class StereoDepthExtractor:
         except Exception:
             limit = 16 * 2**30
         w_eye = width // 2 * (2 if self.unsqueeze_anamorphic else 1)
-        # live volumes: bf16 cost (+transpose copy) + f32 acc (+transpose)
-        # ~= 4 bytes/elem * ~3.2 volumes; batch 8 at 1080p/64disp measured
-        # within a 16 GB chip
-        per_frame = int(4 * height * w_eye * self.params.num_disparities * 3.2)
+        vol = height * w_eye * self.params.num_disparities
+        if os.environ.get("VIDEO3D_TPU_SGM_PRECISION", "int16") == "int16":
+            per_frame = int((2 + 2 + 2) * vol * 1.5)
+        else:
+            per_frame = int((2 + 2 + 4) * vol * 1.5)
         b = max(1, int(limit * 0.75 / per_frame))
         return min(b, 8)
 
@@ -372,6 +399,7 @@ class StereoDepthExtractor:
                     start, n_valid = lo, hi - lo
                 writer.put(np.asarray(arr), start, n_valid)
 
+            guidance_params = getattr(self._guidance_fn, "params", None)
             for frames, valid in reader:
                 depth = depth_batch_pipeline(
                     jnp.asarray(frames),
@@ -380,6 +408,7 @@ class StereoDepthExtractor:
                     normalize=self.normalize,
                     apply_speckle=self.apply_speckle,
                     guidance_fn=self._guidance_fn,
+                    guidance_params=guidance_params,
                 )  # async dispatch; do host work before blocking on it
                 if smoother is not None:
                     out = smoother.push(depth[:valid])
