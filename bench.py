@@ -257,6 +257,7 @@ def main() -> None:
     want = os.environ.get(
         "VIDEO3D_BENCH_CONFIGS", "align,depth,upscale,hybrid,e2e"
     ).split(",")
+    e2e_row = None
     if "align" in want:
         bench_align()
     if "upscale" in want:
@@ -264,9 +265,13 @@ def main() -> None:
     if "hybrid" in want:
         bench_hybrid()
     if "e2e" in want:
-        bench_e2e()
+        e2e_row = bench_e2e()
     if "depth" in want:
-        bench_depth()  # headline; printed last
+        # headline; printed last, annotated with the e2e projection so
+        # the driver's single recorded line carries both signals
+        bench_depth(
+            {"e2e_film_minutes_v5e8": e2e_row["value"]} if e2e_row else None
+        )
 
     with open(os.path.join(os.path.dirname(__file__), "bench_results.json"),
               "w") as f:
