@@ -111,10 +111,13 @@ def bench_upscale():
     b = 4  # DepthUpscaler's default batch -- e2e reuses this compile
     rng = np.random.default_rng(1)
     depth = rng.integers(0, 65535, (b, 1080, 1920)).astype(np.uint16)
-    guide = rng.integers(0, 255, (b, 2160, 3840, 3)).astype(np.float32)
+    # the stage's production path: host-precomputed luma guide plane,
+    # device-quantized uint8 output (stages/upscale.py)
+    guide = rng.integers(0, 255, (b, 2160, 3840)).astype(np.uint8)
 
     def fn(d, g):
-        return guided_upsample(d, g, 2160, 3840, radius=8, eps=1e-3)
+        return guided_upsample(d, g, 2160, 3840, radius=8, eps=1e-3,
+                               out_dtype="uint8")
 
     n_iters = 8
     dt = chain_loop(fn, depth, n_iters, extras=(guide,))

@@ -107,6 +107,38 @@ def test_color_guide_matches_gray_on_gray_guides():
     assert np.corrcoef(a.ravel(), b.ravel())[0, 1] > 0.99
 
 
+def test_quantized_out_and_pregray_guide_match_reference_path():
+    """Transfer-lean paths: device uint8/uint16 quantization must equal
+    the host-side conversion it replaces, and a host-precomputed luma
+    guide must match the device rgb->gray path (both cut relay/PCIe
+    traffic, stages/upscale.py)."""
+    rng = np.random.default_rng(7)
+    depth = rng.integers(0, 65535, (2, 16, 32)).astype(np.uint16)
+    guide = rng.integers(0, 255, (2, 32, 64, 3)).astype(np.float32)
+
+    f32 = np.asarray(guided_upsample(depth, guide, 32, 64, radius=2,
+                                     eps=1e-3))
+    u16 = np.asarray(guided_upsample(depth, guide, 32, 64, radius=2,
+                                     eps=1e-3, out_dtype="uint16"))
+    u8 = np.asarray(guided_upsample(depth, guide, 32, 64, radius=2,
+                                    eps=1e-3, out_dtype="uint8"))
+    assert u16.dtype == np.uint16 and u8.dtype == np.uint8
+    np.testing.assert_allclose(u16, np.round(f32), atol=1)
+    np.testing.assert_allclose(u8, np.round(f32 / 257.0), atol=1)
+
+    # pre-computed luma plane == device rgb_to_gray (same BT.601 weights)
+    luma = (0.299 * guide[..., 0] + 0.587 * guide[..., 1]
+            + 0.114 * guide[..., 2]).astype(np.float32)
+    a = np.asarray(guided_upsample(depth, luma, 32, 64, radius=2, eps=1e-3))
+    np.testing.assert_allclose(a, f32, rtol=1e-4, atol=0.5)
+
+    from video3d_tpu.ops.guided import plain_upsample
+
+    p32 = np.asarray(plain_upsample(depth, 32, 64))
+    p8 = np.asarray(plain_upsample(depth, 32, 64, out_dtype="uint8"))
+    np.testing.assert_allclose(p8, np.round(p32 / 257.0), atol=1)
+
+
 def test_upscale_stage_artifacts(tmp_path):
     # depth sequence at 32x64
     depth_dir = tmp_path / "depth_cafebabe00000000"

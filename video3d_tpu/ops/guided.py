@@ -59,8 +59,21 @@ def guided_filter(
     return mean_a * guide + mean_b
 
 
+def _quantize(q: jnp.ndarray, out_dtype: str) -> jnp.ndarray:
+    """Device-side output quantization: keeps the D2H readback at 1 or 2
+    bytes/pixel instead of 4 (PCIe/relay traffic is the upscale stage's
+    bottleneck; the mp4 path quantizes to 8 bits anyway via yuv420p)."""
+    q = jnp.clip(q * 65535.0, 0.0, 65535.0)
+    if out_dtype == "uint16":
+        return (q + 0.5).astype(jnp.uint16)
+    if out_dtype == "uint8":
+        # same top-8-bits convention as the stage's host-side `/257`
+        return (q / 257.0 + 0.5).astype(jnp.uint8)
+    return q
+
+
 @partial(jax.jit, static_argnames=("out_h", "out_w", "radius", "eps",
-                                   "guide_mode"))
+                                   "guide_mode", "out_dtype"))
 def guided_upsample(
     depth: jnp.ndarray,
     guide_rgb: jnp.ndarray,
@@ -69,6 +82,7 @@ def guided_upsample(
     radius: int = 8,
     eps: float = 1e-3,
     guide_mode: str = "gray",
+    out_dtype: str = "float32",
 ) -> jnp.ndarray:
     """Fast guided upsample: depth (B, h, w) + 4K guide (B, out_h, out_w, 3).
 
@@ -79,12 +93,21 @@ def guided_upsample(
     a 3-vector per pixel from the closed-form inverse of the regularized
     3x3 RGB covariance -- which also preserves iso-luminant color edges
     that a gray guide cannot see.
+
+    In gray mode the guide may also be a PRE-COMPUTED luma plane
+    (B, out_h, out_w) -- e.g. converted on the host with cv2 -- which
+    cuts the host->device guide upload 3x. ``out_dtype``
+    ('float32'|'uint16'|'uint8') selects device-side quantization so the
+    readback matches what the caller will write anyway.
     """
     h, w = int(depth.shape[-2]), int(depth.shape[-1])
     p = depth.astype(jnp.float32) / 65535.0
 
     if guide_mode == "gray":
-        guide_full = rgb_to_gray(guide_rgb) / 255.0  # (B, out_h, out_w)
+        if guide_rgb.ndim == depth.ndim:  # pre-computed luma plane
+            guide_full = guide_rgb.astype(jnp.float32) / 255.0
+        else:
+            guide_full = rgb_to_gray(guide_rgb) / 255.0  # (B, out_h, out_w)
         guide_lo = resize2d(guide_full, h, w, method="bilinear")
         mean_i = box_filter(guide_lo, radius)
         mean_p = box_filter(p, radius)
@@ -97,7 +120,7 @@ def guided_upsample(
         a_up = resize2d(box_filter(a, radius), out_h, out_w, method="bilinear")
         b_up = resize2d(box_filter(b, radius), out_h, out_w, method="bilinear")
         q = a_up * guide_full + b_up
-        return jnp.clip(q * 65535.0, 0.0, 65535.0)
+        return _quantize(q, out_dtype)
 
     # color guide: channels-first planes (B, 3, h, w) so every box filter
     # works on (..., H, W)-minor tiles
@@ -147,13 +170,14 @@ def guided_upsample(
         + ups[2] * guide_full[:, 2]
         + ups[3]
     )
-    return jnp.clip(q * 65535.0, 0.0, 65535.0)
+    return _quantize(q, out_dtype)
 
 
-@partial(jax.jit, static_argnames=("out_h", "out_w", "method"))
+@partial(jax.jit, static_argnames=("out_h", "out_w", "method", "out_dtype"))
 def plain_upsample(
-    depth: jnp.ndarray, out_h: int, out_w: int, method: str = "bilinear"
+    depth: jnp.ndarray, out_h: int, out_w: int, method: str = "bilinear",
+    out_dtype: str = "float32",
 ) -> jnp.ndarray:
     """Parity mode for the reference's ffmpeg ``scale`` (upscale.py:50)."""
     out = resize2d(depth.astype(jnp.float32), out_h, out_w, method=method)
-    return jnp.clip(out, 0.0, 65535.0)
+    return _quantize(out / 65535.0, out_dtype)

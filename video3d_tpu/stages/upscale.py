@@ -129,6 +129,21 @@ class DepthUpscaler:
                 str(output_path), out_w, out_h, fps, use_nvenc=self.use_nvenc
             )
         with writer_cm as writer:
+            # one batch in flight: the previous batch's device->host
+            # readback + encode overlaps the current batch's host load,
+            # guide decode and device dispatch (same pattern as the
+            # depth stage's 4-stage pipeline)
+            pending = None  # (device_array, start_index, valid)
+
+            def drain(p):
+                arr, start, n_valid = p
+                if png16_out:
+                    writer.put(np.asarray(arr), start, n_valid)
+                else:
+                    gray8 = np.asarray(arr)
+                    for j in range(n_valid):
+                        writer.write(gray8[j])
+
             for i in range(0, len(frames), self.batch_size):
                 chunk = frames[i : i + self.batch_size]
                 depth = np.stack([load_depth_png16(p) for p in chunk])
@@ -140,12 +155,24 @@ class DepthUpscaler:
                     )
                     depth = np.concatenate([depth, pad])
 
+                # device-side quantization: read back 1-2 bytes/pixel
+                # instead of f32 (transfer, not compute, bounds this stage)
+                out_dtype = "uint16" if png16_out else "uint8"
                 if self.method == "guided":
                     try:
                         guide, g_valid = next(guide_reader)
                     except StopIteration:
                         guide, g_valid = None, 0
                     if guide is not None and g_valid >= valid:
+                        if self.guide_mode == "gray":
+                            # luma on host (SIMD cvtColor): uploads 1
+                            # channel instead of 3
+                            import cv2
+
+                            guide = np.stack([
+                                cv2.cvtColor(g, cv2.COLOR_RGB2GRAY)
+                                for g in guide
+                            ])
                         up = guided_upsample(
                             jnp.asarray(depth),
                             jnp.asarray(guide),
@@ -154,24 +181,24 @@ class DepthUpscaler:
                             radius=self.radius,
                             eps=self.eps,
                             guide_mode=self.guide_mode,
+                            out_dtype=out_dtype,
                         )
                     else:  # guide ran dry: degrade to plain for the tail
-                        up = plain_upsample(jnp.asarray(depth), out_h, out_w)
+                        up = plain_upsample(jnp.asarray(depth), out_h, out_w,
+                                            out_dtype=out_dtype)
                 else:
-                    up = plain_upsample(jnp.asarray(depth), out_h, out_w)
+                    up = plain_upsample(jnp.asarray(depth), out_h, out_w,
+                                        out_dtype=out_dtype)
 
-                if png16_out:
-                    writer.put(
-                        np.asarray(up).astype(np.uint16), n_done, valid
-                    )
-                else:
-                    gray8 = (np.asarray(up) / 257.0).astype(np.uint8)
-                    for j in range(valid):
-                        writer.write(gray8[j])
+                if pending is not None:
+                    drain(pending)  # previous batch: overlap with `up`
+                pending = (up, n_done, valid)
                 n_done += valid
                 if n_done % 100 < valid:
                     dt = time.time() - t0
                     print(f"  {n_done} frames ({n_done / max(dt, 1e-9):.1f} fps)")
+            if pending is not None:
+                drain(pending)
 
         dt = time.time() - t0
         print(
