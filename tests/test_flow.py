@@ -1,0 +1,207 @@
+"""Optical flow + flow-guided temporal EMA (ops/flow.py).
+
+The reference has no temporal filtering at all (its readme lists
+temporal consistency as future work); these tests pin the new filter's
+contract: flow recovers known motion, the EMA denoises static content,
+tracks moving content without ghosting, passes scene cuts through, and
+the streaming driver is bit-identical to one whole-sequence scan.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from video3d_tpu.ops.flow import (
+    FlowEMAParams,
+    estimate_flow,
+    flow_ema_scan,
+    shift_edge,
+    warp_bilinear,
+)
+
+
+def smooth_texture(rng, h, w, scale=255.0):
+    """Band-limited random texture (enough gradient everywhere for
+    block matching)."""
+    import scipy.ndimage as ndi
+
+    t = ndi.gaussian_filter(rng.standard_normal((h, w)), 2.0)
+    t = (t - t.min()) / (np.ptp(t) + 1e-9)
+    return (t * scale).astype(np.float32)
+
+
+def test_shift_edge_matches_numpy_take():
+    rng = np.random.default_rng(0)
+    a = rng.standard_normal((7, 9)).astype(np.float32)
+    for dy, dx in [(0, 0), (1, 0), (0, -2), (-3, 2), (2, 3)]:
+        got = np.asarray(shift_edge(jnp.asarray(a), dy, dx))
+        yy = np.clip(np.arange(7) + dy, 0, 6)
+        xx = np.clip(np.arange(9) + dx, 0, 8)
+        want = a[np.ix_(yy, xx)]
+        np.testing.assert_allclose(got, want)
+
+
+def test_warp_zero_flow_is_identity():
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.standard_normal((16, 20)).astype(np.float32))
+    z = jnp.zeros((16, 20), jnp.float32)
+    np.testing.assert_allclose(np.asarray(warp_bilinear(img, z, z)),
+                               np.asarray(img))
+
+
+def test_warp_integer_flow_shifts():
+    rng = np.random.default_rng(2)
+    img = rng.standard_normal((12, 15)).astype(np.float32)
+    fy = jnp.full((12, 15), 2.0)
+    fx = jnp.full((12, 15), -1.0)
+    got = np.asarray(warp_bilinear(jnp.asarray(img), fy, fx))
+    want = np.asarray(shift_edge(jnp.asarray(img), 2, -1))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+@pytest.mark.parametrize("sy,sx", [(0, 3), (2, 0), (-2, 4), (3, -5)])
+def test_flow_recovers_constant_shift(sy, sx):
+    """cur(x) = prev(x + s)  =>  estimated flow ~= s in the interior."""
+    rng = np.random.default_rng(7)
+    pad = 8
+    h, w = 96, 128
+    base = smooth_texture(rng, h + 2 * pad, w + 2 * pad)
+    # prev(x) = base(x - s + pad), cur(x) = base(x + pad) = prev(x + s):
+    # backward flow cur->prev is +s (cur pixel x came from prev at x+s)
+    prev = base[pad - sy : pad - sy + h, pad - sx : pad - sx + w]
+    cur = base[pad : pad + h, pad : pad + w]
+    fy, fx = estimate_flow(jnp.asarray(cur), jnp.asarray(prev))
+    m = 16  # interior margin: border windows see replicated edges
+    ey = np.abs(np.asarray(fy)[m:-m, m:-m] - sy).mean()
+    ex = np.abs(np.asarray(fx)[m:-m, m:-m] - sx).mean()
+    assert ey < 0.5 and ex < 0.5, (ey, ex)
+
+
+def test_ema_denoises_static_scene():
+    rng = np.random.default_rng(3)
+    h, w = 48, 64
+    guide = smooth_texture(rng, h, w)
+    gt = smooth_texture(rng, h, w, scale=1000.0)
+    t = 12
+    noise = rng.standard_normal((t, h, w)).astype(np.float32) * 50.0
+    depth = gt[None] + noise
+    guides = np.repeat(guide[None], t, axis=0)
+    _, out = flow_ema_scan(None, jnp.asarray(depth), jnp.asarray(guides))
+    raw_err = np.abs(depth[-1] - gt).mean()
+    ema_err = np.abs(np.asarray(out)[-1] - gt).mean()
+    assert ema_err < 0.5 * raw_err, (ema_err, raw_err)
+
+
+def test_ema_tracks_motion_without_ghosting():
+    """Scene translating 3 px/frame: the flow-EMA must stay close to the
+    per-frame truth, and beat a naive (unwarped) EMA at the same rate."""
+    rng = np.random.default_rng(4)
+    h, w, t, step = 64, 96, 10, 3
+    big_g = smooth_texture(rng, h, w + t * step)
+    big_d = smooth_texture(rng, h, w + t * step, scale=1000.0)
+    guides = np.stack(
+        [big_g[:, i * step : i * step + w] for i in range(t)]
+    )
+    gts = np.stack([big_d[:, i * step : i * step + w] for i in range(t)])
+    noise = rng.standard_normal((t, h, w)).astype(np.float32) * 30.0
+    depth = gts + noise
+    p = FlowEMAParams()
+    _, out = flow_ema_scan(None, jnp.asarray(depth), jnp.asarray(guides), p)
+
+    naive = depth[0]
+    for i in range(1, t):
+        naive = p.alpha_min * depth[i] + (1 - p.alpha_min) * naive
+
+    m = 16
+    flow_err = np.abs(np.asarray(out)[-1] - gts[-1])[m:-m, m:-m].mean()
+    naive_err = np.abs(naive - gts[-1])[m:-m, m:-m].mean()
+    assert flow_err < 0.6 * naive_err, (flow_err, naive_err)
+    assert flow_err < 35.0, flow_err  # close to the truth in absolute terms
+
+
+def test_scene_cut_passes_current_frame_through():
+    rng = np.random.default_rng(5)
+    h, w, t = 48, 64, 8
+    g_a = smooth_texture(rng, h, w)
+    g_b = 255.0 - np.flipud(smooth_texture(rng, h, w))
+    d_a = np.full((h, w), 200.0, np.float32)
+    d_b = np.full((h, w), 900.0, np.float32)
+    guides = np.stack([g_a] * t + [g_b])
+    depth = np.stack([d_a] * t + [d_b])
+    _, out = flow_ema_scan(None, jnp.asarray(depth), jnp.asarray(guides))
+    cut = np.asarray(out)[-1]
+    # residual gate must push alpha -> 1: output within 10% of the new
+    # scene's depth, nowhere near the 200-ish history
+    assert np.abs(cut - 900.0).mean() < 70.0, np.abs(cut - 900.0).mean()
+
+
+def test_stream_equals_single_scan():
+    from video3d_tpu.parallel.temporal import TemporalFlowEMAStream
+
+    rng = np.random.default_rng(6)
+    h, w, hq, wq, t = 32, 40, 8, 10, 9
+    depth = (rng.uniform(0, 60000, (t, h, w))).astype(np.uint16)
+    guides = rng.uniform(0, 255, (t, hq, wq)).astype(np.float32)
+
+    s = TemporalFlowEMAStream()
+    chunks = [
+        np.asarray(s.push(depth[a:b], guides[a:b]))
+        for a, b in [(0, 4), (4, 7), (7, 9)]
+    ]
+    assert s.flush() is None
+    got = np.concatenate(chunks, axis=0)
+
+    whole = TemporalFlowEMAStream()
+    want = np.asarray(whole.push(depth, guides))
+    np.testing.assert_array_equal(got, want)
+    # frame 0 is a bit-exact passthrough
+    np.testing.assert_array_equal(got[0], depth[0])
+
+
+def test_depth_pipeline_return_guide_shapes():
+    from video3d_tpu.stages.depth import depth_batch_pipeline
+    from video3d_tpu.ops.stereo import SGBMParams
+
+    rng = np.random.default_rng(8)
+    frames = rng.integers(0, 255, (2, 32, 128, 3), dtype=np.uint8)
+    out = depth_batch_pipeline(
+        jnp.asarray(frames),
+        params=SGBMParams(num_disparities=16),
+        unsqueeze=False,
+        apply_speckle=False,
+        return_guide=True,
+    )
+    depth, guide = out
+    assert depth.shape == (2, 32, 64) and depth.dtype == jnp.uint16
+    assert guide.shape == (2, 8, 16) and guide.dtype == jnp.float32
+
+
+def test_depth_stage_flow_smoothing(tmp_path):
+    """End-to-end: --temporal-smooth flow writes a distinct cache and a
+    full set of artifacts on a moving synthetic SBS clip."""
+    from tests.test_depth_stage import make_sbs_video
+    from video3d_tpu.core.cache import depth_frame_name
+    from video3d_tpu.stages.depth import StereoDepthExtractor
+
+    video = tmp_path / "sbs.mp4"
+    make_sbs_video(video, n_frames=6, shift=6)
+    ext = StereoDepthExtractor(
+        work_dir=str(tmp_path / "work"),
+        batch_size=3,
+        unsqueeze_anamorphic=False,
+        apply_speckle=False,
+        temporal_smooth="flow",
+    )
+    cache = ext.process_video_sbs(str(video), max_frames=6)
+    assert "+tflow" in ext._model_key()
+    for i in range(6):
+        assert (cache / depth_frame_name(i)).exists()
+
+    plain = StereoDepthExtractor(
+        work_dir=str(tmp_path / "work"),
+        batch_size=3,
+        unsqueeze_anamorphic=False,
+        apply_speckle=False,
+    )
+    assert plain._model_key() != ext._model_key()

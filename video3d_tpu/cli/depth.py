@@ -44,6 +44,12 @@ def build_parser() -> argparse.ArgumentParser:
                    "(depth.py:399-404)")
     p.add_argument("--no-speckle", action="store_true",
                    help="Skip speckle filtering")
+    p.add_argument("--temporal-smooth", default=None,
+                   choices=("none", "median", "flow"),
+                   help="Temporal depth filtering: 'median' = median-of-3 "
+                        "(flicker removal), 'flow' = optical-flow-guided "
+                        "EMA (stronger smoothing, motion-compensated, "
+                        "scene-cut aware)")
     p.add_argument("--temporal-median", action="store_true",
                    help="Median-of-3 temporal smoothing over the frame "
                    "stream (stereo advantage the reference leaves unused, "
@@ -82,6 +88,7 @@ def main(argv=None) -> int:
         normalize="per_frame" if args.per_frame_normalize else "fixed",
         apply_speckle=not args.no_speckle,
         temporal_median=args.temporal_median,
+        temporal_smooth=args.temporal_smooth,
     )
     from video3d_tpu.utils.profiling import trace
 

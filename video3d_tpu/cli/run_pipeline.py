@@ -31,6 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--min-correlation", type=float, default=0.6,
                    help="Stop after alignment below this (align.py:172)")
+    p.add_argument("--temporal-smooth", default=None,
+                   choices=("none", "median", "flow"),
+                   help="Temporal depth filtering for the depth stage")
     return p
 
 
@@ -49,6 +52,7 @@ def main(argv=None) -> int:
         upscale_method=args.upscale_method,
         batch_size=args.batch_size,
         min_correlation=args.min_correlation,
+        temporal_smooth=args.temporal_smooth,
     )
     return 1 if result.get("stopped") else 0
 

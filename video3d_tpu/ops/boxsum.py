@@ -15,10 +15,11 @@ import jax.numpy as jnp
 
 def box_sum_axis(x: jnp.ndarray, axis: int, r: int) -> jnp.ndarray:
     """Sum over a clipped window [i-r, i+r] along ``axis``."""
+    n = x.shape[axis]
+    r = min(r, n - 1)  # window clips at the borders; r >= n-1 spans all
     if r <= 0:
         return x
     c = jnp.cumsum(x, axis=axis)
-    n = x.shape[axis]
     last = jax.lax.slice_in_dim(c, n - 1, n, axis=axis)
     hi = jnp.concatenate(
         [jax.lax.slice_in_dim(c, r, n, axis=axis), jnp.repeat(last, r, axis=axis)],

@@ -74,6 +74,59 @@ class TemporalMedianStream:
         return out
 
 
+class TemporalFlowEMAStream:
+    """Streaming flow-guided EMA over a batched frame stream (host driver).
+
+    Causal (output i needs only frames <= i), so unlike
+    :class:`TemporalMedianStream` there is no one-batch emission lag:
+    ``push(depth, guide)`` returns the same batch filtered. The carry
+    (previous smoothed frame + guide) stays on device between batches.
+
+    ``guide`` is the reduced-resolution left-eye grayscale of the same
+    frames (the depth pipeline emits it alongside the depth batch, see
+    ``depth_batch_pipeline(..., return_guide=True)``); motion is
+    estimated on it and the previous output is warped along that motion
+    before blending, with a photometric-residual gate falling back to
+    the current frame at scene cuts and occlusions (ops/flow.py).
+
+    Frame 0 of the stream is emitted bit-exactly unfiltered and seeds
+    the carry.
+    """
+
+    def __init__(self, params=None):
+        from video3d_tpu.ops.flow import FlowEMAParams
+
+        self.params = params or FlowEMAParams()
+        self._carry = None
+
+    def push(self, depth, guide):
+        """(B, H, W) uint16 depth + (B, hq, wq) guide -> (B, H, W) uint16."""
+        from video3d_tpu.ops.flow import flow_ema_scan
+
+        depth = jnp.asarray(depth)
+        guide = jnp.asarray(guide)
+        head = None
+        if self._carry is None:
+            head = depth[:1]  # frame 0: bit-exact passthrough
+            self._carry = (
+                depth[0].astype(jnp.float32),
+                guide[0].astype(jnp.float32),
+            )
+            depth, guide = depth[1:], guide[1:]
+        if depth.shape[0] == 0:
+            out = depth.astype(jnp.uint16)
+        else:
+            self._carry, out = flow_ema_scan(
+                self._carry, depth, guide, self.params
+            )
+            out = jnp.clip(jnp.round(out), 0.0, 65535.0).astype(jnp.uint16)
+        return out if head is None else jnp.concatenate([head, out], axis=0)
+
+    def flush(self):
+        self._carry = None
+        return None
+
+
 def temporal_median3(depth: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
     """Sharded temporal median-of-3: (T, H, W) sharded on T over ``mesh``.
 

@@ -61,6 +61,7 @@ ALGO_VERSION = 2
         "normalize",
         "apply_speckle",
         "guidance_fn",
+        "return_guide",
     ),
 )
 def depth_batch_pipeline(
@@ -71,6 +72,7 @@ def depth_batch_pipeline(
     apply_speckle: bool = True,
     guidance_fn: Optional[Callable] = None,
     guidance_params=None,
+    return_guide: bool = False,
 ) -> jnp.ndarray:
     """uint8 SBS RGB batch (B, H, W, 3) -> uint16 depth batch (B, H, W').
 
@@ -83,6 +85,11 @@ def depth_batch_pipeline(
     a TRACED argument so large models aren't baked into the compiled
     program as constants (models/guidance.py); when None, ``guidance_fn``
     may be a plain closure that carries its own weights.
+
+    ``return_guide``: also return the quarter-resolution left-eye
+    grayscale (B, ceil(H/4), ceil(W'/4)) float32 — the motion guide the
+    flow-EMA temporal smoother consumes (ops/flow.py), computed inside
+    the same program so no second decode/upload is needed.
     """
     left, right = split_sbs(frames)  # (B, H, W/2, 3) uint8
     left = left.astype(jnp.float32)
@@ -131,7 +138,14 @@ def depth_batch_pipeline(
     else:
         # fixed disparity range keeps inter-frame scale consistent
         scaled = disp * (65535.0 / float(params.num_disparities))
-    return jnp.clip(scaled, 0.0, 65535.0).astype(jnp.uint16)
+    out = jnp.clip(scaled, 0.0, 65535.0).astype(jnp.uint16)
+    if return_guide:
+        from video3d_tpu.ops.image import resize2d
+
+        h, w = gl.shape[-2], gl.shape[-1]
+        guide = resize2d(gl, -(-h // 4), -(-w // 4), method="bilinear")
+        return out, guide
+    return out
 
 
 class StereoDepthExtractor:
@@ -153,6 +167,7 @@ class StereoDepthExtractor:
         normalize: str = "fixed",
         apply_speckle: bool = True,
         temporal_median: bool = False,
+        temporal_smooth: Optional[str] = None,
         params: SGBMParams = SGBMParams(),
     ):
         self.work_dir = create_work_directory(work_dir)
@@ -162,7 +177,16 @@ class StereoDepthExtractor:
         self.unsqueeze_anamorphic = bool(unsqueeze_anamorphic)
         self.normalize = normalize
         self.apply_speckle = bool(apply_speckle)
-        self.temporal_median = bool(temporal_median)
+        # temporal_smooth in {None/'none', 'median', 'flow'};
+        # temporal_median=True is the back-compat spelling of 'median'
+        if temporal_smooth is None:
+            temporal_smooth = "median" if temporal_median else "none"
+        if temporal_smooth not in ("none", "median", "flow"):
+            raise ValueError(
+                f"temporal_smooth must be none|median|flow: {temporal_smooth}"
+            )
+        self.temporal_smooth = temporal_smooth
+        self.temporal_median = temporal_smooth == "median"
         self.params = params
         self._guidance_fn: Optional[Callable] = None
         self._guidance_loaded = False
@@ -260,10 +284,19 @@ class StereoDepthExtractor:
         )
         # temporal median clamps at its range boundary; decode one halo
         # frame past each host seam (dropped from the written output) so
-        # seam frames are bit-identical to a single-host run
-        halo = 1 if self.temporal_median else 0
-        halo_lo = halo if start > 0 else 0
-        halo_hi = halo if start + count < n else 0
+        # seam frames are bit-identical to a single-host run. The flow
+        # EMA is a causal IIR, so only a LEFT warm-up halo is needed;
+        # with alpha_min=0.35, 24 warm-up frames bound the seam error by
+        # 0.65^24 ~= 3e-5 of full scale (~2 uint16 counts) — documented
+        # approximation, not bit-exact like the median.
+        if self.temporal_median:
+            halo, halo_r = 1, 1
+        elif self.temporal_smooth == "flow":
+            halo, halo_r = 24, 0
+        else:
+            halo, halo_r = 0, 0
+        halo_lo = min(halo, start) if start > 0 else 0
+        halo_hi = halo_r if start + count < n else 0
         print(
             f"Host {__import__('jax').process_index()}: frames "
             f"[{start}, {start + count}) of {n} -> {cache}"
@@ -286,6 +319,8 @@ class StereoDepthExtractor:
             model_key += f"+norm={self.normalize}"
         if self.temporal_median:
             model_key += "+tmedian"
+        elif self.temporal_smooth == "flow":
+            model_key += "+tflow"
         if not self.apply_speckle:
             model_key += "+nospeckle"
         default_params = SGBMParams()
@@ -380,6 +415,10 @@ class StereoDepthExtractor:
             from video3d_tpu.parallel.temporal import TemporalMedianStream
 
             smoother = TemporalMedianStream()
+        elif self.temporal_smooth == "flow":
+            from video3d_tpu.parallel.temporal import TemporalFlowEMAStream
+
+            smoother = TemporalFlowEMAStream()
         with DepthMapWriter(cache) as writer:
             # one batch in flight: the previous batch's device->host
             # readback (+ PNG encode scheduling) overlaps the current
@@ -400,6 +439,7 @@ class StereoDepthExtractor:
                 writer.put(np.asarray(arr), start, n_valid)
 
             guidance_params = getattr(self._guidance_fn, "params", None)
+            want_guide = self.temporal_smooth == "flow"
             for frames, valid in reader:
                 depth = depth_batch_pipeline(
                     jnp.asarray(frames),
@@ -409,9 +449,16 @@ class StereoDepthExtractor:
                     apply_speckle=self.apply_speckle,
                     guidance_fn=self._guidance_fn,
                     guidance_params=guidance_params,
+                    return_guide=want_guide,
                 )  # async dispatch; do host work before blocking on it
+                if want_guide:
+                    depth, guide = depth
                 if smoother is not None:
-                    out = smoother.push(depth[:valid])
+                    out = (
+                        smoother.push(depth[:valid], guide[:valid])
+                        if want_guide
+                        else smoother.push(depth[:valid])
+                    )
                     if out is not None:
                         if pending is not None:
                             drain(pending)

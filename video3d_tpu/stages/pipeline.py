@@ -52,6 +52,7 @@ def run_pipeline(
     upscale_method: str = "guided",
     batch_size: Optional[int] = None,
     min_correlation: float = 0.6,
+    temporal_smooth: Optional[str] = None,
 ) -> Dict:
     """Run the full pipeline; returns artifacts + per-step timings.
 
@@ -109,7 +110,8 @@ def run_pipeline(
     if not skip_depth:
         t0 = time.time()
         extractor = StereoDepthExtractor(
-            work_dir=str(work), guidance=guidance, batch_size=batch_size
+            work_dir=str(work), guidance=guidance, batch_size=batch_size,
+            temporal_smooth=temporal_smooth,
         )
         depth_dir = extractor.process_video_sbs(
             sbs_video,
