@@ -178,7 +178,13 @@ def main(argv=None) -> int:
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"CREStereo-lite: {n_params/1e6:.2f} M params, "
           f"crop {h}x{w}, batch {args.batch_size}")
-    tx = optax.adam(args.lr)
+    # RAFT-style optimization: warmup + cosine decay, global-norm clip
+    sched = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=args.lr,
+        warmup_steps=max(1, min(500, args.steps // 10)),
+        decay_steps=args.steps, end_value=args.lr * 0.02,
+    )
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
     opt_state = tx.init(params)
 
     t0 = time.time()

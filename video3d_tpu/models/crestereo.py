@@ -40,11 +40,18 @@ class CREStereoConfig:
     max_disparity: int = 64  # full-resolution disparity range
     iters: int = 6
     lookup_radius: int = 4
+    # correlation pyramid depth: level l pools the disparity axis by 2^l,
+    # so lookups cover radius * 2^(levels-1) fine disparities — without a
+    # pyramid the GRU sees only a +-radius window and gets NO gradient
+    # signal when the true match lies outside it (RAFT's motivation for
+    # multi-scale correlation)
+    corr_levels: int = 3
 
     @classmethod
     def tiny(cls) -> "CREStereoConfig":
         return cls(feat_dim=16, hidden_dim=16, context_dim=16,
-                   max_disparity=16, iters=3, lookup_radius=2)
+                   max_disparity=16, iters=3, lookup_radius=2,
+                   corr_levels=2)
 
 
 class FeatureEncoder(nn.Module):
@@ -151,16 +158,39 @@ class CREStereoLite(nn.Module):
 
         nd4 = max(2, c.max_disparity // 4)
         corr = build_corr_volume(fl, fr, nd4)
+        # pooled-disparity pyramid: level l averages 2^l fine bins, so a
+        # fixed +-radius lookup window spans the whole range at the top
+        pyramid = [corr]
+        for _ in range(c.corr_levels - 1):
+            prev = pyramid[-1]
+            nd = prev.shape[-1]
+            if nd % 2:
+                prev = jnp.concatenate([prev, prev[..., -1:]], axis=-1)
+                nd += 1
+            pyramid.append(
+                prev.reshape(prev.shape[:-1] + (nd // 2, 2)).mean(-1)
+            )
 
         b, h4, w4, _ = fl.shape
-        disp = jnp.zeros((b, h4, w4), jnp.float32)
+        # WTA init from the full correlation volume (no gradient needed):
+        # gives the GRU a starting point already near the match instead
+        # of a cold zero start far outside its lookup window
+        disp = jax.lax.stop_gradient(
+            jnp.argmax(corr, axis=-1).astype(jnp.float32)
+        )
         gru = ConvGRU(c.hidden_dim, name="gru")
         # modules are created once; iterations share their weights
         menc = nn.Conv(c.context_dim, (3, 3), padding=1, name="menc")
         head = nn.Conv(1, (3, 3), padding=1, name="head")
         outputs = []
         for _ in range(c.iters):
-            corr_feat = lookup_corr(corr, disp, c.lookup_radius)
+            corr_feat = jnp.concatenate(
+                [
+                    lookup_corr(lv, disp / float(2 ** i), c.lookup_radius)
+                    for i, lv in enumerate(pyramid)
+                ],
+                axis=-1,
+            )
             motion = jnp.concatenate([corr_feat, disp[..., None]], axis=-1)
             motion = jax.nn.relu(menc(motion))
             hidden = gru(hidden, jnp.concatenate([motion, context], axis=-1))
