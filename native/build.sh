@@ -3,5 +3,5 @@
 set -e
 cd "$(dirname "$0")"
 g++ -O3 -march=native -fPIC -shared -std=c++17 -pthread \
-    png16.cc -lz -o libv3dpng.so
+    png16.cc mp4box.cc -lz -o libv3dpng.so
 echo "built $(pwd)/libv3dpng.so"

@@ -1,0 +1,129 @@
+"""Native MP4 box-level stream copy (native/mp4box.cc).
+
+Pins the ffmpeg ``-ss .. -t .. -c copy`` contract the reference's
+segment extractor relies on (extract_aligned.py:124-133) for hosts
+without ffmpeg: cuts start at the previous video keyframe, copied
+samples are bit-exact (no re-encode), and the output is a standalone
+playable MP4 whose decode matches the source decode frame-for-frame.
+"""
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from video3d_tpu.core._native import cut_mp4, lib
+
+
+pytestmark = pytest.mark.skipif(
+    lib() is None, reason="native library not built"
+)
+
+
+def write_clip(path, n=96, w=96, h=64, fps=24.0, seed=0):
+    """Smooth moving-texture clip: compressible, so the encoder emits
+    P-frames and keyframe snapping is actually exercised."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+    base = cv2.GaussianBlur(base, (9, 9), 3)
+    wr = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                         (w, h))
+    assert wr.isOpened()
+    for i in range(n):
+        wr.write(np.roll(base, i, axis=1))
+    wr.release()
+
+
+def decode_all(path):
+    cap = cv2.VideoCapture(str(path))
+    out = []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        out.append(f)
+    cap.release()
+    return out
+
+
+def test_cut_is_bitexact_streamcopy(tmp_path):
+    src = tmp_path / "src.mp4"
+    write_clip(src)
+    out = tmp_path / "cut.mp4"
+    assert cut_mp4(str(src), str(out), 1.3, 1.0) is None
+
+    orig = decode_all(src)
+    got = decode_all(out)
+    assert len(got) > 0
+    # first output frame must exist verbatim in the source decode at or
+    # before the requested start (keyframe snap, never after)
+    matches = [
+        k for k in range(len(orig)) if np.array_equal(orig[k], got[0])
+    ]
+    assert matches, "first cut frame not found in source decode"
+    k = matches[0]
+    assert k <= int(1.3 * 24) + 1
+    # every following frame matches the source run exactly (stream copy)
+    for i, f in enumerate(got):
+        assert np.array_equal(orig[k + i], f), f"frame {i} differs"
+    # window length: from the snapped keyframe through start+duration
+    want = int(round((1.3 + 1.0) * 24)) - k
+    assert abs(len(got) - want) <= 2
+
+
+def test_cut_from_zero_full_duration(tmp_path):
+    src = tmp_path / "src.mp4"
+    write_clip(src, n=48)
+    out = tmp_path / "all.mp4"
+    assert cut_mp4(str(src), str(out), 0.0, 2.0) is None
+    orig = decode_all(src)
+    got = decode_all(out)
+    assert len(got) == len(orig)
+    assert all(np.array_equal(a, b) for a, b in zip(orig, got))
+
+
+def test_cut_errors(tmp_path):
+    assert cut_mp4(str(tmp_path / "missing.mp4"), str(tmp_path / "o.mp4"),
+                   0, 1) is not None
+    bad = tmp_path / "bad.mp4"
+    bad.write_bytes(b"this is not an mp4 file at all, not even close")
+    assert cut_mp4(str(bad), str(tmp_path / "o.mp4"), 0, 1) is not None
+    src = tmp_path / "src.mp4"
+    write_clip(src, n=24)
+    # window entirely beyond the end selects nothing
+    assert cut_mp4(str(src), str(tmp_path / "o.mp4"), 100.0, 1.0) is not None
+
+
+def test_extract_stage_uses_native_cut(tmp_path, monkeypatch):
+    """AlignedExtractor on an ffmpeg-less host stream-copies via the
+    native remuxer instead of re-encoding."""
+    import json
+
+    from video3d_tpu.stages.extract import AlignedExtractor
+
+    v1 = tmp_path / "sbs.mp4"
+    v2 = tmp_path / "movie.mp4"
+    write_clip(v1, n=96, seed=1)
+    write_clip(v2, n=96, seed=2)
+    align = {
+        "video1_path": str(v1),
+        "video2_path": str(v2),
+        "time_offset_seconds": 0.5,
+        "correlation_strength": 0.9,
+    }
+    af = tmp_path / "alignment_data.json"
+    af.write_text(json.dumps(align))
+
+    monkeypatch.setattr("shutil.which", lambda name: None)  # no ffmpeg
+    ex = AlignedExtractor(str(af))
+    res = ex.extract_segment(24, 1.0, output_dir=str(tmp_path / "segs"))
+    for name, path in res.items():
+        assert path.exists() and path.stat().st_size > 0
+        frames = decode_all(path)
+        assert len(frames) >= 20
+    # video2's window is shifted by the offset: its first frame comes
+    # from ~0.5 s later on its own timeline
+    orig2 = decode_all(v2)
+    got2 = decode_all(res["video2"])
+    m = [k for k in range(len(orig2)) if np.array_equal(orig2[k], got2[0])]
+    assert m and m[0] <= int((24 / 24.0 + 0.5) * 24) + 1

@@ -25,10 +25,14 @@ _tried = False
 
 
 def _build_if_source_newer() -> None:
-    src = _LIB_PATH.parent / "png16.cc"
-    if not src.exists():
+    srcs = [
+        p for p in (_LIB_PATH.parent / n for n in ("png16.cc", "mp4box.cc"))
+        if p.exists()
+    ]
+    if not srcs:
         return
-    if _LIB_PATH.exists() and _LIB_PATH.stat().st_mtime >= src.stat().st_mtime:
+    newest = max(p.stat().st_mtime for p in srcs)
+    if _LIB_PATH.exists() and _LIB_PATH.stat().st_mtime >= newest:
         return
     try:
         subprocess.run(
@@ -73,8 +77,37 @@ def lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint16), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_char_p,
     ]
+    if hasattr(l, "v3d_mp4_cut"):
+        l.v3d_mp4_cut.restype = ctypes.c_int
+        l.v3d_mp4_cut.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_double,
+            ctypes.c_double, ctypes.c_char_p, ctypes.c_int,
+        ]
     _lib = l
     return _lib
+
+
+def cut_mp4(in_path: str, out_path: str, start_s: float,
+            dur_s: float) -> Optional[str]:
+    """Box-level MP4 stream copy of [start_s, start_s+dur_s).
+
+    The video track snaps back to the previous keyframe (the ffmpeg
+    ``-ss .. -c copy`` contract, reference extract_aligned.py:124-133);
+    other tracks cut at that same time. Returns None on success, an
+    error string on failure, and "native library unavailable" when the
+    lib isn't built (callers fall back to a decode/re-encode path).
+    """
+    l = lib()
+    if l is None or not hasattr(l, "v3d_mp4_cut"):
+        return "native library unavailable"
+    err = ctypes.create_string_buffer(512)
+    rc = l.v3d_mp4_cut(
+        str(in_path).encode(), str(out_path).encode(),
+        float(start_s), float(dur_s), err, len(err),
+    )
+    if rc != 0:
+        return err.value.decode(errors="replace") or "mp4 cut failed"
+    return None
 
 
 def encode_png16(depth: np.ndarray, zlevel: int = 1) -> Optional[bytes]:

@@ -8,7 +8,10 @@ both videos' bounds, and cuts the clips.
 
 Cutting prefers ffmpeg stream copy (the reference's ``-c copy`` contract,
 extract_aligned.py:124-133: frame-accurate-ish, no re-encode); on hosts
-without ffmpeg it degrades to an OpenCV decode/re-encode of the window.
+without ffmpeg, MP4 inputs go through the native box-level remuxer
+(native/mp4box.cc -- same keyframe-snap stream-copy semantics, zero
+re-encode), and only non-MP4 containers degrade to an OpenCV
+decode/re-encode of the window.
 The interactive ``input()`` confirmation gate of the reference
 (extract_aligned.py:274-276) is replaced by an ``assume_yes`` flag
 (SURVEY.md SS2.4-11).
@@ -105,6 +108,15 @@ class AlignedExtractor:
                     f"ffmpeg segment cut failed: {res.stderr.decode()[:400]}"
                 )
             return
+        # native box-level stream copy (no re-encode): same keyframe-snap
+        # contract as ffmpeg -ss -c copy (native/mp4box.cc)
+        if video.suffix.lower() in (".mp4", ".m4v", ".mov"):
+            from video3d_tpu.core._native import cut_mp4
+
+            err = cut_mp4(str(video), str(out), start, duration)
+            if err is None:
+                return
+            print(f"Native mp4 cut unavailable ({err}); re-encoding")
         # OpenCV fallback: decode the window and re-encode
         import cv2
 
