@@ -173,6 +173,13 @@ class StereoDepthExtractor:
         self.work_dir = create_work_directory(work_dir)
         self.batch_size = batch_size
         self.guidance = guidance
+        # the CLI's --model default names the DPT checkpoint; for the
+        # crestereo backend resolve that default to the bundled trained
+        # checkpoint at the repo root (shipped by tools/eval_stereo.py's
+        # training recipe) so --guidance crestereo works out of the box
+        if guidance == "crestereo" and model_checkpoint == "Intel/dpt-large":
+            bundled = Path(__file__).resolve().parents[2] / "crestereo_ckpt"
+            model_checkpoint = str(bundled)
         self.model_checkpoint = model_checkpoint if guidance != "none" else "stereo_only"
         self.unsqueeze_anamorphic = bool(unsqueeze_anamorphic)
         self.normalize = normalize
