@@ -205,3 +205,33 @@ def test_depth_stage_flow_smoothing(tmp_path):
         apply_speckle=False,
     )
     assert plain._model_key() != ext._model_key()
+
+
+def test_shift_warp_matches_gather_warp():
+    """The gather-free production warp equals the map_coordinates
+    reference for in-range flow (r covers the field)."""
+    from video3d_tpu.ops.flow import warp_bilinear_shifts
+
+    rng = np.random.default_rng(11)
+    img = jnp.asarray(rng.standard_normal((40, 56)).astype(np.float32))
+    fy = jnp.asarray(
+        rng.uniform(-3.5, 3.5, (40, 56)).astype(np.float32)
+    )
+    fx = jnp.asarray(
+        rng.uniform(-3.5, 3.5, (40, 56)).astype(np.float32)
+    )
+    # constant-flow case: separable == true bilinear exactly
+    cfy = jnp.full((40, 56), 1.7)
+    cfx = jnp.full((40, 56), -2.3)
+    got = np.asarray(warp_bilinear_shifts(img, cfy, cfx, 4))
+    want = np.asarray(warp_bilinear(img, cfy, cfx))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+    # smooth varying flow: separation error stays small in the interior
+    import scipy.ndimage as ndi
+
+    fy = jnp.asarray(ndi.gaussian_filter(np.asarray(fy), 4.0))
+    fx = jnp.asarray(ndi.gaussian_filter(np.asarray(fx), 4.0))
+    got = np.asarray(warp_bilinear_shifts(img, fy, fx, 4))
+    want = np.asarray(warp_bilinear(img, fy, fx))
+    err = np.abs(got - want)[4:-4, 4:-4]
+    assert err.max() < 0.35 and err.mean() < 0.02, (err.max(), err.mean())

@@ -72,14 +72,51 @@ def warp_bilinear(img: jnp.ndarray, flow_y: jnp.ndarray,
                   flow_x: jnp.ndarray) -> jnp.ndarray:
     """Backward-warp (H, W) ``img`` by flow: out(x) = img(x + flow(x)).
 
-    Bilinear, border-clamped. The one gather in the temporal filter —
-    spatially-varying sampling has no static-shift equivalent.
+    Bilinear, border-clamped, via ``map_coordinates`` (gather). On TPU a
+    2 MPix gather costs ~40 ms — use only at small sizes (the pyramid
+    levels inside :func:`estimate_flow`); production warps go through
+    :func:`warp_bilinear_shifts`.
     """
     h, w = img.shape[-2], img.shape[-1]
     yy, xx = jnp.mgrid[0:h, 0:w]
     coords = [yy + flow_y, xx + flow_x]
     return jax.scipy.ndimage.map_coordinates(img, coords, order=1,
                                              mode="nearest")
+
+
+def _warp_axis_shifts(img: jnp.ndarray, f: jnp.ndarray, r: int,
+                      axis_y: bool) -> jnp.ndarray:
+    """1-D linear resample along one axis via static shifts.
+
+    out = sum_k relu(1 - |f - k|) * shift(img, k) for k in [-r, r]: the
+    hat weights select the two bilinear taps around the fractional
+    offset, every shift is static (edge-replicated), and no gathers are
+    emitted. ``f`` must already be clamped to [-r, r].
+    """
+    acc = jnp.zeros_like(img)
+    for k in range(-r, r + 1):
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(f - k))
+        acc = acc + w * (shift_edge(img, k, 0) if axis_y
+                         else shift_edge(img, 0, k))
+    return acc
+
+
+def warp_bilinear_shifts(img: jnp.ndarray, flow_y: jnp.ndarray,
+                         flow_x: jnp.ndarray, r: int) -> jnp.ndarray:
+    """Gather-free backward warp, flow clamped to [-r, r] px per axis.
+
+    Separable: vertical linear resample by ``flow_y`` then horizontal by
+    ``flow_x`` (exact for bilinear when the flow field is constant; for
+    the smooth upsampled fields used here the separation error is
+    negligible). TPU-fast: 2*(2r+1) static shifted elementwise terms
+    instead of a per-pixel gather (~20x faster at 1080p). Callers clamp
+    flow with the SAME r they pass here so downstream residual gates see
+    exactly the warp that was applied.
+    """
+    fy = jnp.clip(flow_y, -r, r)
+    fx = jnp.clip(flow_x, -r, r)
+    return _warp_axis_shifts(_warp_axis_shifts(img, fy, r, True), fx, r,
+                             False)
 
 
 def _flow_level(cur: jnp.ndarray, prev: jnp.ndarray, fy: jnp.ndarray,
@@ -164,29 +201,39 @@ class FlowEMAParams(NamedTuple):
     ``gain``: residual (mean abs intensity diff, 0-255 scale) to alpha
     slope; at residual >= (1-alpha_min)/gain the filter passes the
     current frame through (scene cut / occlusion).
+    ``max_warp``: full-resolution flow clamp in px/frame for the
+    gather-free warp; faster motion loses temporal smoothing via the
+    residual gate — intentional, since motion masking hides flicker on
+    fast-moving content anyway.
     """
 
     alpha_min: float = 0.35
     gain: float = 0.08
     levels: int = 3
     search: int = 2
+    max_warp: int = 16
 
 
 def _ema_step(p: FlowEMAParams, carry, x):
     prev_out, prev_g = carry  # (H, W) f32 depth, (hq, wq) f32 guide
     depth, g = x
-    fy, fx = estimate_flow(g, prev_g, levels=p.levels, search=p.search)
-    prev_g_w = warp_bilinear(prev_g, fy, fx)
     hq, wq = g.shape
+    h, w = depth.shape
+    sy, sx = h / hq, w / wq
+    # clamp the flow at GUIDE scale to what the full-res warp can apply,
+    # so the photometric residual gates on the warp actually used
+    rq = max(1, int(round(p.max_warp / max(sy, sx))))
+    fy, fx = estimate_flow(g, prev_g, levels=p.levels, search=p.search)
+    fy = jnp.clip(fy, -rq, rq)
+    fx = jnp.clip(fx, -rq, rq)
+    prev_g_w = warp_bilinear_shifts(prev_g, fy, fx, rq)
     resid = box_sum_2d(jnp.abs(g - prev_g_w), 2) / window_area(hq, wq, 2)
     alpha_q = jnp.clip(p.alpha_min + p.gain * resid, p.alpha_min, 1.0)
 
-    h, w = depth.shape
-    sy, sx = h / hq, w / wq
     fy_f = _resize_bl(fy, h, w) * sy
     fx_f = _resize_bl(fx, h, w) * sx
     alpha = _resize_bl(alpha_q, h, w)
-    prev_warp = warp_bilinear(prev_out, fy_f, fx_f)
+    prev_warp = warp_bilinear_shifts(prev_out, fy_f, fx_f, p.max_warp)
     out = alpha * depth + (1.0 - alpha) * prev_warp
     return (out, g), out
 
