@@ -276,6 +276,30 @@ def main() -> None:
             {"e2e_film_minutes_v5e8": e2e_row["value"]} if e2e_row else None
         )
 
+    # compute-bound film projection: the measured e2e slice on THIS dev
+    # host is dominated by its ~17 MB/s device relay and single CPU core
+    # (production TPU hosts have PCIe/ICI-class links and real host
+    # cores); project the device-side pipeline from the per-stage device
+    # throughputs measured in the same run (serial depth+upscale per
+    # chip, frames sharded over 8 chips)
+    rates = {
+        r["metric"]: r["value"]
+        for r in RESULTS
+        if r["metric"] in (
+            "sbs1080p_depth_fps_per_chip", "guided_upscale_4k_fps_per_chip",
+        )
+    }
+    if len(rates) == 2:
+        per_chip = 1.0 / sum(1.0 / v for v in rates.values())
+        minutes = FILM_FRAMES / (per_chip * 8.0) / 60.0
+        emit(
+            "e2e_film_projection_minutes_v5e8_compute", minutes, "minutes",
+            vs_baseline=TARGET_E2E_MIN / minutes,
+            note="device-side projection from measured per-stage "
+                 "throughputs; the measured-slice row includes this dev "
+                 "host's 17 MB/s relay artifact",
+        )
+
     with open(os.path.join(os.path.dirname(__file__), "bench_results.json"),
               "w") as f:
         json.dump(RESULTS, f, indent=1)
