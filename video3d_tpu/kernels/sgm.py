@@ -257,6 +257,30 @@ def _row_kernel_dmajor(
         out_ref[:, r] = total.astype(out_ref.dtype)
 
 
+def _pick_tiling(b: int, h: int, vmem, budget: int,
+                 rps_cap: int = 16) -> Tuple[int, int]:
+    """(block-batch, rows-per-step) divisor pair minimizing the total
+    grid-step count (b/bb)*(h/rps) subject to vmem(bb, rps) <= budget.
+
+    Ties prefer larger rps (smaller carries re-zeroed per frame) then
+    smaller bb. ``rps_cap`` bounds in-kernel unrolling (compile time).
+    """
+    divs_b = [x for x in range(1, b + 1) if b % x == 0]
+    divs_h = [x for x in range(1, min(h, rps_cap) + 1) if h % x == 0]
+    best = (1, 1)
+    best_steps = None
+    for bb in divs_b:
+        for rps in divs_h:
+            if vmem(bb, rps) > budget:
+                continue
+            steps = (b // bb) * (h // rps)
+            key = (steps, -rps, bb)
+            if best_steps is None or key < best_steps:
+                best_steps = key
+                best = (bb, rps)
+    return best
+
+
 def _directional_pass_dmajor(
     cost: jnp.ndarray,
     acc: Optional[jnp.ndarray],
@@ -287,23 +311,28 @@ def _directional_pass_dmajor(
     ab = jnp.dtype(acc_dtype).itemsize
     # pick (block-batch, rows-per-step) to fill the VMEM budget: carry is
     # len(shifts)*bb*d*w at f32 (compute dtype); cost/acc/out blocks
-    # double-buffered at their storage dtypes
+    # double-buffered at their storage dtypes. Estimate with the PADDED
+    # tile dims (lanes round up to 128, sublanes to 8) -- Mosaic allocates
+    # padded tiles, and 1080-lane blocks pad 6.7%.
     budget = 14 * 2**20
+    dp = -(-d // 8) * 8
+    wp = -(-w // 128) * 128
 
     def vmem(bb, rps):
+        # carry + double-buffered cost/acc-in/out blocks + the kernel's
+        # f32 staging copy of the cost block (c_all) -- measured scoped
+        # allocations match this within ~1 MiB
         return (
-            len(shifts) * bb * 4 * d * w
-            + 2 * (bb * rps * (cost.dtype.itemsize + 2 * ab)) * d * w
+            len(shifts) * bb * 4 * dp * wp
+            + (bb * rps * (2 * (cost.dtype.itemsize + 2 * ab) + 4)) * dp * wp
         )
 
-    bb = 1
-    rps = 1
-    for cand in (10, 8, 6, 5, 4, 3, 2):
-        if h % cand == 0 and vmem(1, cand) <= budget:
-            rps = cand
-            break
-    while bb * 2 <= b and b % (bb * 2) == 0 and vmem(bb * 2, rps) <= budget:
-        bb *= 2
+    # the sweeps are grid-step-overhead-bound at 1080p (~2 us/step), so
+    # choose the (block-batch, rows-per-step) divisor pair minimizing the
+    # TOTAL step count (b/bb)*(h/rps) under the VMEM budget -- e.g. at
+    # batch 8 on the 1920-line horizontal volumes, bb=2/rps=8 gives 960
+    # steps where the old greedy rps-first pick (1, 10) gave 1536
+    bb, rps = _pick_tiling(b, h, vmem, budget)
 
     nblk = h // rps
     if reverse:
@@ -548,24 +577,20 @@ def sgm_wta_pallas_dmajor(
         return wta_disparity_dmajor(acc, params)
 
     # final pass fused with WTA (tighter budget: the in-kernel
-    # WTA needs scratch headroom for its temporaries)
-    budget = 9 * 2**20
+    # WTA needs scratch headroom for its temporaries -- a few (bb, D, W)
+    # f32 planes beyond the block estimate)
+    budget = int(10.5 * 2**20)
     ab = acc.dtype.itemsize
+    dp = -(-d // 8) * 8
+    wp = -(-w // 128) * 128
 
     def vmem(bb, rps):
         return (
-            len(shifts) * bb * 4 * d * w
-            + 2 * bb * rps * (cost.dtype.itemsize + ab) * d * w
+            len(shifts) * bb * 4 * dp * wp
+            + (bb * rps * (2 * (cost.dtype.itemsize + ab) + 4)) * dp * wp
         )
 
-    rps = 1
-    for cand in (10, 8, 6, 4, 3, 2):
-        if h % cand == 0 and vmem(1, cand) <= budget:
-            rps = cand
-            break
-    bb = 1
-    while bb * 2 <= b and b % (bb * 2) == 0 and vmem(bb * 2, rps) <= budget:
-        bb *= 2
+    bb, rps = _pick_tiling(b, h, vmem, budget, rps_cap=10)
     nblk = h // rps
     if final_reverse:
         index_map = lambda i, y: (i, nblk - 1 - y, 0, 0)
