@@ -75,3 +75,19 @@ def test_serve_ping_job_error_shutdown(server, tmp_path):
     bad = _client(sock, {"video": "/nonexistent.mp4"})
     assert not bad["ok"] and "error" in bad
     assert _client(sock, {"cmd": "ping"})["ok"]
+
+    # per-job temporal_smooth override: distinct cache, default restored
+    resp3 = _client(
+        sock,
+        {"video": str(video), "max_frames": 4, "temporal_smooth": "median"},
+    )
+    assert resp3["ok"], resp3
+    assert resp3["cache_dir"] != resp["cache_dir"]
+    # a later job without the option uses the server default again
+    resp4 = _client(sock, {"video": str(video), "max_frames": 4})
+    assert resp4["ok"] and resp4["cache_dir"] == resp["cache_dir"]
+    badts = _client(
+        sock,
+        {"video": str(video), "max_frames": 4, "temporal_smooth": "bogus"},
+    )
+    assert not badts["ok"] and "temporal_smooth" in badts["error"]

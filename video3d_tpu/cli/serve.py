@@ -6,7 +6,11 @@ tunnel). For production serving, this daemon compiles once and processes
 jobs submitted over a UNIX socket, line-delimited JSON:
 
     request:  {"video": "...", "max_frames": 100, "start_frame": 0,
-               "force": false, "work_dir": "..."}   (work_dir optional)
+               "force": false, "work_dir": "...",
+               "temporal_smooth": "none|median|flow"}
+              (work_dir / temporal_smooth optional; a job's first use of
+              a new temporal_smooth value compiles that variant once,
+              then it stays hot)
     response: {"ok": true, "cache_dir": "...", "frames": N,
                "seconds": S}  |  {"ok": false, "error": "..."}
 
@@ -44,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="none")
     p.add_argument("--model", default="Intel/dpt-large")
     p.add_argument("--no-unsqueeze", action="store_true")
+    p.add_argument("--temporal-smooth", default=None,
+                   choices=("none", "median", "flow"),
+                   help="Default temporal depth filtering for jobs that "
+                        "don't set one")
     p.add_argument("--submit", default=None, metavar="JOB_JSON",
                    help="Client mode: send one request (a JSON file, an "
                    "inline JSON string, or '-' for stdin) and exit")
@@ -84,6 +92,7 @@ def main(argv=None) -> int:
         guidance=args.guidance,
         model_checkpoint=args.model,
         unsqueeze_anamorphic=not args.no_unsqueeze,
+        temporal_smooth=args.temporal_smooth,
     )
 
     sock_path = Path(args.socket)
@@ -112,9 +121,16 @@ def main(argv=None) -> int:
                 # a per-job work_dir override must not leak into later
                 # jobs that omit it -- restore the server default after
                 default_work_dir = extractor.work_dir
+                default_smooth = extractor.temporal_smooth
                 if req.get("work_dir"):
                     extractor.work_dir = Path(req["work_dir"])
                     extractor.work_dir.mkdir(parents=True, exist_ok=True)
+                if req.get("temporal_smooth") is not None:
+                    ts = req["temporal_smooth"]
+                    if ts not in ("none", "median", "flow"):
+                        raise ValueError(f"bad temporal_smooth: {ts}")
+                    extractor.temporal_smooth = ts
+                    extractor.temporal_median = ts == "median"
                 try:
                     cache = extractor.process_video_sbs(
                         req["video"],
@@ -124,6 +140,8 @@ def main(argv=None) -> int:
                     )
                 finally:
                     extractor.work_dir = default_work_dir
+                    extractor.temporal_smooth = default_smooth
+                    extractor.temporal_median = default_smooth == "median"
                 n = len(list(Path(cache).glob("depth_*.png")))
                 self._reply({
                     "ok": True,
