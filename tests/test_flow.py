@@ -235,3 +235,28 @@ def test_shift_warp_matches_gather_warp():
     want = np.asarray(warp_bilinear(img, fy, fx))
     err = np.abs(got - want)[4:-4, 4:-4]
     assert err.max() < 0.35 and err.mean() < 0.02, (err.max(), err.mean())
+
+
+@pytest.mark.parametrize("shape", [(48, 128), (270, 480), (96, 96)])
+def test_pallas_warp_matches_xla_shift_stack(shape):
+    """kernels/warp.py (interpret mode) ≡ the XLA shift-stack for
+    arbitrary in-range flow, including the replicated borders."""
+    from video3d_tpu.ops.flow import _warp_axis_shifts
+    from video3d_tpu.kernels.warp import warp_bilinear_shifts_pallas
+
+    h, w = shape
+    rng = np.random.default_rng(21)
+    img = jnp.asarray(rng.standard_normal((h, w)).astype(np.float32))
+    fy = jnp.asarray(rng.uniform(-6, 6, (h, w)).astype(np.float32))
+    fx = jnp.asarray(rng.uniform(-6, 6, (h, w)).astype(np.float32))
+    r = 5
+    fyc = jnp.clip(fy, -r, r)
+    fxc = jnp.clip(fx, -r, r)
+    want = np.asarray(
+        _warp_axis_shifts(_warp_axis_shifts(img, fyc, r, True), fxc, r,
+                          False)
+    )
+    got = np.asarray(
+        warp_bilinear_shifts_pallas(img, fy, fx, r, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)

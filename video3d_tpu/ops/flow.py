@@ -108,11 +108,22 @@ def warp_bilinear_shifts(img: jnp.ndarray, flow_y: jnp.ndarray,
     Separable: vertical linear resample by ``flow_y`` then horizontal by
     ``flow_x`` (exact for bilinear when the flow field is constant; for
     the smooth upsampled fields used here the separation error is
-    negligible). TPU-fast: 2*(2r+1) static shifted elementwise terms
-    instead of a per-pixel gather (~20x faster at 1080p). Callers clamp
-    flow with the SAME r they pass here so downstream residual gates see
-    exactly the warp that was applied.
+    negligible). Callers clamp flow with the SAME r they pass here so
+    downstream residual gates see exactly the warp that was applied.
+
+    On TPU this routes through the Pallas kernels (kernels/warp.py):
+    the XLA shift-stack materializes 2*(2r+1) full-size intermediates in
+    HBM, the kernels read each plane once. Elsewhere (and for shapes
+    with no Mosaic-legal tiling) the XLA formulation runs; both are
+    numerically identical.
     """
+    if jax.default_backend() == "tpu" and img.ndim == 2:
+        try:
+            from video3d_tpu.kernels.warp import warp_bilinear_shifts_pallas
+
+            return warp_bilinear_shifts_pallas(img, flow_y, flow_x, r)
+        except ValueError:
+            pass  # no legal tiling for this shape: XLA fallback
     fy = jnp.clip(flow_y, -r, r)
     fx = jnp.clip(flow_x, -r, r)
     return _warp_axis_shifts(_warp_axis_shifts(img, fy, r, True), fx, r,
