@@ -149,3 +149,29 @@ def test_auto_batch_size_scales_with_memory(monkeypatch):
         assert ext._auto_batch_size(1080, 1920) <= b_1080
     finally:
         del os.environ["VIDEO3D_TPU_SGM_PRECISION"]
+
+
+def test_auto_disparity_range(tmp_path):
+    """The probe narrows the range to the content (shift 6 -> D=16, the
+    cv2-legal minimum), the cache key reflects it, and the narrowed run
+    still recovers the disparity."""
+    video = tmp_path / "sbs.mp4"
+    make_sbs_video(video, n_frames=6, shift=6)
+    ext = StereoDepthExtractor(
+        work_dir=str(tmp_path / "work"),
+        batch_size=3,
+        unsqueeze_anamorphic=False,
+        apply_speckle=False,
+    )
+    key_before = ext._model_key()
+    d = ext.apply_auto_range(str(video), sample_frames=3)
+    assert d == 16, d
+    assert ext.params.num_disparities == 16
+    assert ext._model_key() != key_before
+    assert "num_disparities=16" in ext._model_key()
+
+    cache = ext.process_video_sbs(str(video), max_frames=6)
+    disp = load_depth_png16(cache / depth_frame_name(1)).astype(np.float64)
+    # fixed normalization now scales by the NARROWED range
+    med = np.median(disp[8:-8, 80:120]) * 16.0 / 65535.0
+    assert abs(med - 6) < 2.0, med

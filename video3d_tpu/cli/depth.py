@@ -44,6 +44,13 @@ def build_parser() -> argparse.ArgumentParser:
                    "(depth.py:399-404)")
     p.add_argument("--no-speckle", action="store_true",
                    help="Skip speckle filtering")
+    p.add_argument("--auto-range", action="store_true",
+                   help="Probe a frame sample and narrow the disparity "
+                        "range to the content (SGM cost is linear in "
+                        "the range; 64 -> 32 nearly halves matcher "
+                        "time). The cache key reflects the chosen "
+                        "range.")
+    p.add_argument("--range-sample-frames", type=int, default=6)
     p.add_argument("--temporal-smooth", default=None,
                    choices=("none", "median", "flow"),
                    help="Temporal depth filtering: 'median' = median-of-3 "
@@ -93,6 +100,13 @@ def main(argv=None) -> int:
     from video3d_tpu.utils.profiling import trace
 
     with trace(args.profile_dir):
+        if args.auto_range:
+            extractor.apply_auto_range(
+                args.video,
+                start_frame=args.start_frame,
+                n_frames=args.max_frames,
+                sample_frames=args.range_sample_frames,
+            )
         if args.multihost:
             from video3d_tpu.parallel.multihost import initialize
 

@@ -221,23 +221,28 @@ def fused_cost_volume(
 
     # rows per grid step: the passes were step-count-bound at one row
     # per step (~1082 steps x ~4 us at 1080p); deeper steps amortize.
-    # Constraint: rps >= pad for the static staging slot math.
-    budget = 12 * 2**20
+    # Constraint: rps >= pad for the static staging slot math. The VMEM
+    # model adds the measured scheduler overhead beyond the ring/stage/
+    # block estimate: ~2 MiB of row temporaries plus ~0.8 MiB per unit
+    # of block-batch (scoped-allocation reports: D=16/bb=4/rps=12 hit
+    # 17.0 MiB where the bare estimate said 11.8).
+    budget = 15 * 2**20
 
     def vmem(bb, rps):
+        if rps < pad:
+            return 1 << 62  # illegal: staging slot math needs rps >= pad
         ring = (2 * pad + 2) * bb * 4 * num_disp * w  # ring + vsum (f32)
         stage = bb * rps * out_bytes * num_disp * w
         blocks = 2 * bb * rps * out_bytes * num_disp * w  # out dbl-buffered
-        return ring + stage + blocks
+        return (
+            ring + stage + blocks + 2 * 2**20 + bb * int(0.8 * 2**20)
+        )
 
-    rps = pad
-    for cand in (12, 10, 8, 6, 5, 4, 3):
-        if cand >= pad and h % cand == 0 and vmem(1, cand) <= budget:
-            rps = cand
-            break
-    bb = 1
-    while bb * 2 <= b and b % (bb * 2) == 0 and vmem(bb * 2, rps) <= budget:
-        bb *= 2
+    from video3d_tpu.kernels.sgm import _pick_tiling
+
+    bb, rps = _pick_tiling(b, h, vmem, budget, rps_cap=12)
+    if rps < pad:  # no legal pick: fall back to minimum-legal tiling
+        bb, rps = 1, pad
 
     nblk = h // rps
     steps = nblk + 1  # one extra step flushes the last pad rows
