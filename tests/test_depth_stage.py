@@ -175,3 +175,33 @@ def test_auto_disparity_range(tmp_path):
     # fixed normalization now scales by the NARROWED range
     med = np.median(disp[8:-8, 80:120]) * 16.0 / 65535.0
     assert abs(med - 6) < 2.0, med
+
+
+def test_guidance_blend_weight():
+    """stereo_weight generalizes the fixed 0.7/0.3 contract: 1.0 ignores
+    guidance entirely, 0.0 passes the learned output through; non-default
+    weights get their own cache key."""
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 255, size=(1, 32, 128, 3), dtype=np.uint8)
+    params = SGBMParams(num_disparities=16)
+
+    def guidance(l, r):
+        return np.full((1, 32, 64), 5.0, np.float32) * (l[..., 0] * 0 + 1)
+
+    guidance.stereo = True
+    base = np.asarray(depth_batch_pipeline(
+        frames, params=params, unsqueeze=False, apply_speckle=False))
+    w1 = np.asarray(depth_batch_pipeline(
+        frames, params=params, unsqueeze=False, apply_speckle=False,
+        guidance_fn=guidance, stereo_weight=1.0))
+    np.testing.assert_array_equal(base, w1)
+    w0 = np.asarray(depth_batch_pipeline(
+        frames, params=params, unsqueeze=False, apply_speckle=False,
+        guidance_fn=guidance, stereo_weight=0.0))
+    want = np.round(5.0 * 65535.0 / 16.0)
+    assert np.all(np.abs(w0.astype(np.float64) - want) <= 1.0)
+
+    a = StereoDepthExtractor(work_dir="/tmp/bw1")
+    b = StereoDepthExtractor(work_dir="/tmp/bw2", stereo_weight=0.5)
+    assert a._model_key() != b._model_key()
+    assert "+sw=0.5" in b._model_key()

@@ -51,6 +51,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "time). The cache key reflects the chosen "
                         "range.")
     p.add_argument("--range-sample-frames", type=int, default=6)
+    p.add_argument("--guidance-weight", type=float, default=0.7,
+                   help="Stereo weight of the guidance blend (reference "
+                        "contract 0.7; 0 = pure learned backend, which "
+                        "our eval prefers on low-texture content)")
     p.add_argument("--temporal-smooth", default=None,
                    choices=("none", "median", "flow"),
                    help="Temporal depth filtering: 'median' = median-of-3 "
@@ -96,6 +100,7 @@ def main(argv=None) -> int:
         apply_speckle=not args.no_speckle,
         temporal_median=args.temporal_median,
         temporal_smooth=args.temporal_smooth,
+        stereo_weight=args.guidance_weight,
     )
     from video3d_tpu.utils.profiling import trace
 

@@ -62,6 +62,7 @@ ALGO_VERSION = 2
         "apply_speckle",
         "guidance_fn",
         "return_guide",
+        "stereo_weight",
     ),
 )
 def depth_batch_pipeline(
@@ -73,6 +74,7 @@ def depth_batch_pipeline(
     guidance_fn: Optional[Callable] = None,
     guidance_params=None,
     return_guide: bool = False,
+    stereo_weight: float = STEREO_WEIGHT,
 ) -> jnp.ndarray:
     """uint8 SBS RGB batch (B, H, W, 3) -> uint16 depth batch (B, H, W').
 
@@ -126,7 +128,11 @@ def depth_batch_pipeline(
             mmax = jnp.max(mono, axis=(-2, -1), keepdims=True)
             mono = (mono - mmin) / jnp.maximum(mmax - mmin, 1e-6)
             guide = mono * float(params.num_disparities)
-        disp = STEREO_WEIGHT * disp + MONO_WEIGHT * guide
+        # blend contract 0.7/0.3 (reference depth.py:358-363) by default;
+        # stereo_weight=0 hands the frame to the learned backend entirely
+        # (our eval shows pure CREStereo beats the blend on low texture,
+        # README "Stereo quality")
+        disp = stereo_weight * disp + (1.0 - stereo_weight) * guide
 
     disp = jnp.maximum(disp, 0.0)  # clamp invalid/negative (depth.py:374)
 
@@ -168,6 +174,7 @@ class StereoDepthExtractor:
         apply_speckle: bool = True,
         temporal_median: bool = False,
         temporal_smooth: Optional[str] = None,
+        stereo_weight: float = STEREO_WEIGHT,
         params: SGBMParams = SGBMParams(),
     ):
         self.work_dir = create_work_directory(work_dir)
@@ -194,6 +201,7 @@ class StereoDepthExtractor:
             )
         self.temporal_smooth = temporal_smooth
         self.temporal_median = temporal_smooth == "median"
+        self.stereo_weight = float(stereo_weight)
         self.params = params
         self._guidance_fn: Optional[Callable] = None
         self._guidance_loaded = False
@@ -409,6 +417,8 @@ class StereoDepthExtractor:
             model_key += "+tflow"
         if not self.apply_speckle:
             model_key += "+nospeckle"
+        if self.stereo_weight != STEREO_WEIGHT:
+            model_key += f"+sw={self.stereo_weight:g}"
         default_params = SGBMParams()
         if self.params != default_params:
             import dataclasses
@@ -536,6 +546,7 @@ class StereoDepthExtractor:
                     guidance_fn=self._guidance_fn,
                     guidance_params=guidance_params,
                     return_guide=want_guide,
+                    stereo_weight=self.stereo_weight,
                 )  # async dispatch; do host work before blocking on it
                 if want_guide:
                     depth, guide = depth
