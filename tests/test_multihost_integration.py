@@ -136,3 +136,53 @@ def test_sharded_temporal_median_seam_matches_single_host(tmp_path, monkeypatch)
         a = load_depth_png16(single / depth_frame_name(i))
         b = load_depth_png16(caches[0] / depth_frame_name(i))
         assert np.array_equal(a, b), f"frame {i} differs at host seam"
+
+
+def test_sharded_flow_ema_seam_approximates_single_host(tmp_path, monkeypatch):
+    """Flow-EMA is a causal IIR: hosts warm it up over a left halo
+    (up to 24 frames) instead of an exact exchange, so seam frames are
+    APPROXIMATELY equal to a single-host run (documented bound ~2 uint16
+    counts at full warm-up; a few counts here with the short clip)."""
+    from video3d_tpu.core.depthio import load_depth_png16
+    from video3d_tpu.core.cache import depth_frame_name
+    from video3d_tpu.parallel import multihost
+    from video3d_tpu.stages.depth import StereoDepthExtractor
+
+    video = tmp_path / "sbs.mp4"
+    n = 16
+    make_sbs_video(video, n_frames=n, shift=4)
+
+    def make_ext(work):
+        return StereoDepthExtractor(
+            work_dir=str(work),
+            batch_size=4,
+            unsqueeze_anamorphic=False,
+            apply_speckle=False,
+            temporal_smooth="flow",
+        )
+
+    single = make_ext(tmp_path / "single").process_video_sbs(
+        str(video), max_frames=n
+    )
+
+    shared = tmp_path / "shared"
+    for pi in range(2):
+        monkeypatch.setattr(
+            multihost,
+            "host_frame_slice",
+            lambda nf, pi=pi: multihost.frame_ranges(nf, 2)[pi],
+        )
+        make_ext(shared).process_video_sbs_sharded(str(video))
+
+    caches = list(shared.glob("depth_*/"))
+    assert len(caches) == 1, caches
+    worst = 0.0
+    for i in range(n):
+        a = load_depth_png16(single / depth_frame_name(i)).astype(np.int64)
+        b = load_depth_png16(
+            caches[0] / depth_frame_name(i)
+        ).astype(np.int64)
+        worst = max(worst, float(np.abs(a - b).max()))
+    # first-host frames are bit-identical (same stream head); second
+    # host's frames converge through the 8-frame warm-up halo
+    assert worst <= 64.0, worst  # ~0.1% of full scale
