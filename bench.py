@@ -300,9 +300,31 @@ def main() -> None:
                  "host's 17 MB/s relay artifact",
         )
 
-    with open(os.path.join(os.path.dirname(__file__), "bench_results.json"),
-              "w") as f:
-        json.dump(RESULTS, f, indent=1)
+    # merge into the existing results file: a subset run (via
+    # VIDEO3D_BENCH_CONFIGS) refreshes only the metrics it measured and
+    # keeps the rest, so the recorded file always holds all configs
+    path = os.path.join(os.path.dirname(__file__), "bench_results.json")
+    merged = []
+    try:
+        with open(path) as f:
+            merged = [
+                r for r in json.load(f)
+                if r.get("metric") not in {x["metric"] for x in RESULTS}
+            ]
+    except (OSError, ValueError):
+        merged = []
+    order = [
+        "alignment_30s_clips_seconds", "guided_upscale_4k_fps_per_chip",
+        "hybrid_dpt_depth_fps_per_chip", "e2e_slice_seconds",
+        "e2e_film_projection_minutes_v5e8", "sbs1080p_depth_fps_per_chip",
+        "e2e_film_projection_minutes_v5e8_compute",
+    ]
+    merged += RESULTS
+    merged.sort(key=lambda r: (
+        order.index(r["metric"]) if r["metric"] in order else 99
+    ))
+    with open(path, "w") as f:
+        json.dump(merged, f, indent=1)
     for row in RESULTS:
         print(json.dumps(row))
 
