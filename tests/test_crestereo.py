@@ -74,14 +74,21 @@ def test_training_reduces_loss(tiny):
 
 
 def test_checkpoint_roundtrip_and_guidance(tiny, tmp_path):
+    import jax.numpy as jnp
+
     cfg, model, params, left, right = tiny
     path = tmp_path / "ckpt"
     save_checkpoint(str(path), params)
-    fn = load_crestereo_guidance(str(path), cfg)
+    # f32 load: bit-faithful roundtrip
+    fn = load_crestereo_guidance(str(path), cfg, dtype=jnp.float32)
     assert getattr(fn, "stereo", False)
     out = np.asarray(fn(left, right))
     ref = np.asarray(model.apply(params, left, right))
     np.testing.assert_allclose(out, ref, atol=1e-5)
+    # default bf16 inference: same prediction within mixed-precision noise
+    fn16 = load_crestereo_guidance(str(path), cfg)
+    out16 = np.asarray(fn16(left, right))
+    assert np.abs(out16 - ref).mean() < 0.25, np.abs(out16 - ref).mean()
 
 
 def test_depth_pipeline_with_stereo_guidance(tiny):

@@ -40,6 +40,9 @@ class CREStereoConfig:
     max_disparity: int = 64  # full-resolution disparity range
     iters: int = 6
     lookup_radius: int = 4
+    # computation dtype for the convs (params stay f32; flax casts per
+    # op) -- bf16 doubles MXU throughput at inference
+    dtype: object = jnp.float32
     # correlation pyramid depth: level l pools the disparity axis by 2^l,
     # so lookups cover radius * 2^(levels-1) fine disparities — without a
     # pyramid the GRU sees only a +-radius window and gets NO gradient
@@ -58,31 +61,38 @@ class FeatureEncoder(nn.Module):
     """1/4-resolution conv encoder (shared between eyes)."""
 
     out_dim: int
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(32, (7, 7), strides=(2, 2), padding=3, name="conv1")(x)
+        dt = self.dtype
+        x = nn.Conv(32, (7, 7), strides=(2, 2), padding=3, name="conv1",
+                    dtype=dt)(x)
         x = jax.nn.relu(x)
-        x = nn.Conv(48, (3, 3), padding=1, name="conv2")(x)
+        x = nn.Conv(48, (3, 3), padding=1, name="conv2", dtype=dt)(x)
         x = jax.nn.relu(x)
-        x = nn.Conv(64, (3, 3), strides=(2, 2), padding=1, name="conv3")(x)
+        x = nn.Conv(64, (3, 3), strides=(2, 2), padding=1, name="conv3",
+                    dtype=dt)(x)
         x = jax.nn.relu(x)
-        x = nn.Conv(self.out_dim, (3, 3), padding=1, name="conv4")(x)
+        x = nn.Conv(self.out_dim, (3, 3), padding=1, name="conv4",
+                    dtype=dt)(x)
         return x
 
 
 class ConvGRU(nn.Module):
     hidden_dim: int
+    dtype: object = jnp.float32
 
     @nn.compact
     def __call__(self, h, x):
         hx = jnp.concatenate([h, x], axis=-1)
         z = jax.nn.sigmoid(nn.Conv(self.hidden_dim, (3, 3), padding=1,
-                                   name="convz")(hx))
+                                   name="convz", dtype=self.dtype)(hx))
         r = jax.nn.sigmoid(nn.Conv(self.hidden_dim, (3, 3), padding=1,
-                                   name="convr")(hx))
+                                   name="convr", dtype=self.dtype)(hx))
         q = jnp.tanh(
-            nn.Conv(self.hidden_dim, (3, 3), padding=1, name="convq")(
+            nn.Conv(self.hidden_dim, (3, 3), padding=1, name="convq",
+                    dtype=self.dtype)(
                 jnp.concatenate([r * h, x], axis=-1)
             )
         )
@@ -147,10 +157,11 @@ class CREStereoLite(nn.Module):
     def __call__(self, left, right, all_iterations: bool = False):
         c = self.cfg
         x = jnp.concatenate([left, right], axis=0) / 127.5 - 1.0
-        feats = FeatureEncoder(c.feat_dim, name="fnet")(x)
+        feats = FeatureEncoder(c.feat_dim, dtype=c.dtype, name="fnet")(x)
         fl, fr = jnp.split(feats, 2, axis=0)
 
-        ctx = FeatureEncoder(c.hidden_dim + c.context_dim, name="cnet")(
+        ctx = FeatureEncoder(c.hidden_dim + c.context_dim, dtype=c.dtype,
+                             name="cnet")(
             left / 127.5 - 1.0
         )
         hidden = jnp.tanh(ctx[..., : c.hidden_dim])
@@ -178,10 +189,11 @@ class CREStereoLite(nn.Module):
         disp = jax.lax.stop_gradient(
             jnp.argmax(corr, axis=-1).astype(jnp.float32)
         )
-        gru = ConvGRU(c.hidden_dim, name="gru")
+        gru = ConvGRU(c.hidden_dim, dtype=c.dtype, name="gru")
         # modules are created once; iterations share their weights
-        menc = nn.Conv(c.context_dim, (3, 3), padding=1, name="menc")
-        head = nn.Conv(1, (3, 3), padding=1, name="head")
+        menc = nn.Conv(c.context_dim, (3, 3), padding=1, name="menc",
+                       dtype=c.dtype)
+        head = nn.Conv(1, (3, 3), padding=1, name="head", dtype=c.dtype)
         outputs = []
         for _ in range(c.iters):
             corr_feat = jnp.concatenate(
@@ -194,7 +206,7 @@ class CREStereoLite(nn.Module):
             motion = jnp.concatenate([corr_feat, disp[..., None]], axis=-1)
             motion = jax.nn.relu(menc(motion))
             hidden = gru(hidden, jnp.concatenate([motion, context], axis=-1))
-            delta = head(hidden)[..., 0]
+            delta = head(hidden)[..., 0].astype(jnp.float32)
             disp = disp + delta
             outputs.append(disp)
 
@@ -256,11 +268,20 @@ def load_checkpoint(path: str):
 
 
 def load_crestereo_guidance(checkpoint: str,
-                            cfg: CREStereoConfig = CREStereoConfig()):
+                            cfg: CREStereoConfig = CREStereoConfig(),
+                            dtype=jnp.bfloat16,
+                            infer_scale_hd: int = 2):
     """Guidance fn for the depth stage: blends a learned full-range
     disparity estimate. ``checkpoint`` is an orbax directory saved by
     :func:`save_checkpoint`; raises if absent (stage degrades to
-    stereo-only, reference depth.py:107-114 contract)."""
+    stereo-only, reference depth.py:107-114 contract).
+
+    Inference runs the convs in ``dtype`` (params stay f32; bf16 doubles
+    MXU throughput) and, for HD inputs (height >= 720), at 1/
+    ``infer_scale_hd`` resolution with the disparity rescaled and
+    bilinearly upsampled — the guidance contributes a 30% blend, and the
+    matcher supplies the full-resolution detail (same trade the DPT
+    backend makes with its 384-px inference size)."""
     import os
 
     if not os.path.isdir(checkpoint):
@@ -269,11 +290,28 @@ def load_crestereo_guidance(checkpoint: str,
             "models.crestereo.train_step + save_checkpoint)"
         )
     params = load_checkpoint(checkpoint)
-    model = CREStereoLite(cfg)
+    model = CREStereoLite(dataclasses.replace(cfg, dtype=dtype))
     from video3d_tpu.models.guidance import GuidanceFn
+    from video3d_tpu.ops.image import resize2d
+
+    def apply_fn(p, left, right):
+        h, w = left.shape[1], left.shape[2]
+        s = infer_scale_hd if h >= 720 and infer_scale_hd > 1 else 1
+        if s > 1:
+            hs, ws = h // s, w // s
+            # (B, H, W, 3) -> channel-major for the resize matmuls
+            ls = jnp.moveaxis(
+                resize2d(jnp.moveaxis(left, -1, 1), hs, ws,
+                         method="bilinear"), 1, -1)
+            rs = jnp.moveaxis(
+                resize2d(jnp.moveaxis(right, -1, 1), hs, ws,
+                         method="bilinear"), 1, -1)
+            d = model.apply(p, ls, rs) * float(s)
+            return resize2d(d, h, w, method="bilinear")
+        return model.apply(p, left, right)
 
     return GuidanceFn(
-        lambda p, left, right: model.apply(p, left, right),
+        apply_fn,
         params,
         stereo=True,  # consumes both eyes (see stages/depth.py)
     )
