@@ -154,3 +154,19 @@ def test_stage_timer_and_memory_stats():
     assert "a" in t.summary()
     stats = device_memory_stats()
     assert "bytes_in_use" in stats
+
+
+def test_dp_training_on_virtual_mesh(tmp_path):
+    """CREStereo training with --dp shards the batch over the 8-device
+    CPU mesh and still optimizes (the dryrun's layout through the real
+    CLI surface)."""
+    from video3d_tpu.cli.train_crestereo import main
+
+    rc = main([
+        "--synthetic", "--steps", "4", "--batch-size", "8",
+        "--crop", "32", "64", "--iters", "2", "--max-disparity", "16",
+        "--dp", "--log-every", "1",
+        "--out", str(tmp_path / "ckpt"),
+    ])
+    assert rc == 0
+    assert (tmp_path / "ckpt").is_dir()

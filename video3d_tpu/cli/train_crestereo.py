@@ -129,6 +129,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-disparity", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--dp", action="store_true",
+                   help="Data-parallel training over all visible devices "
+                        "(batch sharded on a frames mesh, params/optimizer "
+                        "replicated; gradients reduce over ICI). "
+                        "batch-size must divide the device count.")
     return p
 
 
@@ -178,6 +183,26 @@ def main(argv=None) -> int:
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"CREStereo-lite: {n_params/1e6:.2f} M params, "
           f"crop {h}x{w}, batch {args.batch_size}")
+
+    put_batch = lambda *xs: xs
+    if args.dp:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from video3d_tpu.parallel.mesh import frames_mesh
+
+        devs = jax.devices()
+        if args.batch_size % len(devs):
+            print(f"--dp: batch size {args.batch_size} must divide "
+                  f"{len(devs)} devices")
+            return 1
+        mesh = frames_mesh(devs)
+        batch_sh = NamedSharding(mesh, P("frames"))
+        repl = NamedSharding(mesh, P())
+        params = jax.device_put(params, repl)
+        put_batch = lambda *xs: tuple(
+            jax.device_put(x, batch_sh) for x in xs
+        )
+        print(f"Data-parallel over {len(devs)} devices")
     # RAFT-style optimization: warmup + cosine decay, global-norm clip
     sched = optax.warmup_cosine_decay_schedule(
         init_value=0.0, peak_value=args.lr,
@@ -186,9 +211,14 @@ def main(argv=None) -> int:
     )
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
     opt_state = tx.init(params)
+    if args.dp:
+        opt_state = jax.device_put(
+            opt_state, jax.sharding.NamedSharding(mesh, P())
+        )
 
     t0 = time.time()
     for step in range(1, args.steps + 1):
+        left, right, gt, valid = put_batch(left, right, gt, valid)
         params, opt_state, loss = train_step(
             model, tx, params, opt_state, left, right, gt, valid
         )
