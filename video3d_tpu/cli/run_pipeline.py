@@ -34,6 +34,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--temporal-smooth", default=None,
                    choices=("none", "median", "flow"),
                    help="Temporal depth filtering for the depth stage")
+    p.add_argument("--auto-range", action="store_true",
+                   help="Probe and narrow the disparity range before the "
+                        "depth stage (see video-3d-depth --auto-range)")
+    p.add_argument("--guidance-weight", type=float, default=0.7)
     return p
 
 
@@ -53,6 +57,8 @@ def main(argv=None) -> int:
         batch_size=args.batch_size,
         min_correlation=args.min_correlation,
         temporal_smooth=args.temporal_smooth,
+        auto_range=args.auto_range,
+        guidance_weight=args.guidance_weight,
     )
     return 1 if result.get("stopped") else 0
 

@@ -53,6 +53,8 @@ def run_pipeline(
     batch_size: Optional[int] = None,
     min_correlation: float = 0.6,
     temporal_smooth: Optional[str] = None,
+    auto_range: bool = False,
+    guidance_weight: float = 0.7,
 ) -> Dict:
     """Run the full pipeline; returns artifacts + per-step timings.
 
@@ -111,8 +113,12 @@ def run_pipeline(
         t0 = time.time()
         extractor = StereoDepthExtractor(
             work_dir=str(work), guidance=guidance, batch_size=batch_size,
-            temporal_smooth=temporal_smooth,
+            temporal_smooth=temporal_smooth, stereo_weight=guidance_weight,
         )
+        if auto_range:
+            extractor.apply_auto_range(
+                sbs_video, start_frame=sbs_start, n_frames=max_frames
+            )
         depth_dir = extractor.process_video_sbs(
             sbs_video,
             start_frame=sbs_start,
