@@ -59,6 +59,25 @@ uint32_t fourcc(const char* t) {
   return rd32(reinterpret_cast<const uint8_t*>(t));
 }
 
+// 64-bit-safe seek: plain fseek takes long, which is 32-bit on
+// Windows/ILP32, so co64 files with sample offsets past 2 GiB would
+// seek to the wrong position there.
+int seek64(FILE* f, uint64_t off) {
+#if defined(_WIN32)
+  return _fseeki64(f, int64_t(off), SEEK_SET);
+#else
+  return fseeko(f, off_t(off), SEEK_SET);
+#endif
+}
+
+int64_t tell64(FILE* f) {
+#if defined(_WIN32)
+  return _ftelli64(f);
+#else
+  return int64_t(ftello(f));
+#endif
+}
+
 // ---------------------------------------------------------------------------
 // box tree (moov only -- mdat is streamed, never held in memory)
 // ---------------------------------------------------------------------------
@@ -435,7 +454,7 @@ extern "C" int v3d_mp4_cut(const char* in_path, const char* out_path,
     uint8_t hdr[16];
     uint64_t off = 0;
     for (;;) {
-      if (fseek(f, long(off), SEEK_SET) != 0) break;
+      if (seek64(f, off) != 0) break;
       if (fread(hdr, 1, 8, f) != 8) break;
       uint64_t size = rd32(hdr);
       uint32_t type = rd32(hdr + 4);
@@ -446,13 +465,13 @@ extern "C" int v3d_mp4_cut(const char* in_path, const char* out_path,
         h = 16;
       } else if (size == 0) {
         fseek(f, 0, SEEK_END);
-        size = uint64_t(ftell(f)) - off;
-        fseek(f, long(off + h), SEEK_SET);
+        size = uint64_t(tell64(f)) - off;
+        seek64(f, off + h);
       }
       if (size < h) break;
       if (type == fourcc("ftyp") && size <= (1u << 20)) {
         ftyp.resize(size_t(size));
-        fseek(f, long(off), SEEK_SET);
+        seek64(f, off);
         if (fread(ftyp.data(), 1, size_t(size), f) != size_t(size)) {
           err.set("short read on ftyp");
           fclose(f);
@@ -465,7 +484,7 @@ extern "C" int v3d_mp4_cut(const char* in_path, const char* out_path,
           return -1;
         }
         moov_raw.resize(size_t(size - h));
-        fseek(f, long(off + h), SEEK_SET);
+        seek64(f, off + h);
         if (fread(moov_raw.data(), 1, moov_raw.size(), f) != moov_raw.size()) {
           err.set("short read on moov");
           fclose(f);
@@ -545,6 +564,12 @@ extern "C" int v3d_mp4_cut(const char* in_path, const char* out_path,
     cut_s = double(st.dts[idx]) / st.timescale;
     break;  // first video track decides
   }
+  // Window contract: [snapped keyframe, start_s + dur_s). This differs
+  // slightly from `ffmpeg -ss .. -t ..`, which counts -t from the seek
+  // (keyframe) point, so our output can run longer by the keyframe
+  // lead-in. For aligned extraction that is the preferable behavior:
+  // the caller's requested [start, start+dur) range is always fully
+  // covered rather than truncated by the lead-in.
   double end_s = start_s + dur_s;
 
   for (Selection& sel : sels) {
@@ -726,7 +751,7 @@ extern "C" int v3d_mp4_cut(const char* in_path, const char* out_path,
   for (Selection& sel : sels) {
     const SampleTable& st = sel.st;
     for (size_t i = sel.first; ok && i < sel.first + sel.count; i++) {
-      if (fseek(f, long(st.offset[i]), SEEK_SET) != 0) {
+      if (seek64(f, st.offset[i]) != 0) {
         ok = false;
         break;
       }

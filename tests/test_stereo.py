@@ -214,3 +214,32 @@ def test_speckle_device_vs_exact_on_realistic_disparity():
         # the exact filter must actually have removed something, or the
         # comparison is vacuous
     assert min(agree) > 0.97, agree
+
+
+def test_speckle_band_coverage_num_disparities_96():
+    """The _speckle wrapper must thread the REAL disparity range into the
+    banded filter (VERDICT r2 weak-7): with num_disparities=96 and the old
+    hardwired (0, 64) default, every disparity above 64 collapsed into one
+    band, so a high-disparity outlier blob was silently supported by a
+    high-disparity background and survived. Parity vs the exact host
+    flood-fill oracle at disparities > 64."""
+    import jax.numpy as jnp
+
+    from video3d_tpu.ops.stereo import _speckle
+
+    params = SGBMParams(num_disparities=96, speckle_window_size=9,
+                        speckle_range=4)
+    invalid = float(params.min_disparity - 1)
+    # smooth background at 80, isolated 6-px blobs at 92 -- both above the
+    # old hardwired 64 band ceiling, separated by > 2*max_diff
+    disp = np.full((1, 48, 64), 80.0, np.float32)
+    disp[0, 10:12, 10:13] = 92.0
+    disp[0, 30:32, 40:43] = 92.0
+
+    out = np.asarray(_speckle(jnp.asarray(disp), params))
+    exact = speckle_filter_exact(disp[0], invalid, 4.0, 9)
+    np.testing.assert_array_equal(out[0], exact)
+    # the blobs must actually be removed (band separation preserved >64)
+    assert (out[0, 10:12, 10:13] == invalid).all()
+    assert (out[0, 30:32, 40:43] == invalid).all()
+    assert (out[0] == 80.0).mean() > 0.9

@@ -105,6 +105,14 @@ def main(argv=None) -> int:
     from video3d_tpu.utils.profiling import trace
 
     with trace(args.profile_dir):
+        # jax.distributed.initialize must run before ANY backend use, and
+        # the --auto-range probe is a JAX computation -- so in multihost
+        # mode init first, probe after (the probe is deterministic, every
+        # host picks the same range and hence the same cache key).
+        if args.multihost:
+            from video3d_tpu.parallel.multihost import initialize
+
+            initialize(args.coordinator, args.num_processes, args.process_id)
         if args.auto_range:
             extractor.apply_auto_range(
                 args.video,
@@ -113,9 +121,6 @@ def main(argv=None) -> int:
                 sample_frames=args.range_sample_frames,
             )
         if args.multihost:
-            from video3d_tpu.parallel.multihost import initialize
-
-            initialize(args.coordinator, args.num_processes, args.process_id)
             cache = extractor.process_video_sbs_sharded(
                 args.video, max_frames=args.max_frames, force=args.force
             )

@@ -118,20 +118,26 @@ def main(argv=None) -> int:
                 return
             try:
                 t0 = time.time()
-                # a per-job work_dir override must not leak into later
-                # jobs that omit it -- restore the server default after
+                # Validate the whole request BEFORE touching extractor
+                # state: a bad field must not leave a half-applied
+                # override behind for later jobs (the server keeps
+                # serving after errors).
+                ts = req.get("temporal_smooth")
+                if ts is not None and ts not in ("none", "median", "flow"):
+                    raise ValueError(f"bad temporal_smooth: {ts}")
+                if "video" not in req:
+                    raise ValueError("request missing 'video'")
+                # a per-job override must not leak into later jobs that
+                # omit it -- restore the server default after
                 default_work_dir = extractor.work_dir
                 default_smooth = extractor.temporal_smooth
-                if req.get("work_dir"):
-                    extractor.work_dir = Path(req["work_dir"])
-                    extractor.work_dir.mkdir(parents=True, exist_ok=True)
-                if req.get("temporal_smooth") is not None:
-                    ts = req["temporal_smooth"]
-                    if ts not in ("none", "median", "flow"):
-                        raise ValueError(f"bad temporal_smooth: {ts}")
-                    extractor.temporal_smooth = ts
-                    extractor.temporal_median = ts == "median"
                 try:
+                    if req.get("work_dir"):
+                        extractor.work_dir = Path(req["work_dir"])
+                        extractor.work_dir.mkdir(parents=True, exist_ok=True)
+                    if ts is not None:
+                        extractor.temporal_smooth = ts
+                        extractor.temporal_median = ts == "median"
                     cache = extractor.process_video_sbs(
                         req["video"],
                         start_frame=int(req.get("start_frame", 0)),

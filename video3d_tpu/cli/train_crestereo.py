@@ -192,8 +192,8 @@ def main(argv=None) -> int:
 
         devs = jax.devices()
         if args.batch_size % len(devs):
-            print(f"--dp: batch size {args.batch_size} must divide "
-                  f"{len(devs)} devices")
+            print(f"--dp: batch size {args.batch_size} must be "
+                  f"divisible by {len(devs)} devices")
             return 1
         mesh = frames_mesh(devs)
         batch_sh = NamedSharding(mesh, P("frames"))

@@ -599,6 +599,13 @@ def _speckle(disp: jnp.ndarray, params: SGBMParams) -> jnp.ndarray:
         invalid=INVALID(params),
         max_diff=float(params.speckle_range),
         min_region=params.speckle_window_size,
+        # band coverage must span the actual disparity range: the kernel
+        # default (0, 64) would silently lump every disparity above 64
+        # into one band for configs with num_disparities > 64
+        value_range=(
+            float(params.min_disparity),
+            float(params.min_disparity + params.num_disparities),
+        ),
     )
     if jax.default_backend() == "tpu":
         from video3d_tpu.kernels.speckle import (
