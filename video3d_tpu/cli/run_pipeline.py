@@ -38,6 +38,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Probe and narrow the disparity range before the "
                         "depth stage (see video-3d-depth --auto-range)")
     p.add_argument("--guidance-weight", type=float, default=0.7)
+    p.add_argument("--fused", action="store_true",
+                   help="Run depth+upscale as one device-resident loop: "
+                        "no intermediate PNG round trip (stages/fused.py). "
+                        "Default keeps the file-coupled stages whose PNG "
+                        "cache enables resume")
+    p.add_argument("--cache-depth", action="store_true",
+                   help="In --fused mode, also write the depth PNG cache "
+                        "(restores resumability at the cost of the "
+                        "readback fused mode otherwise skips)")
     return p
 
 
@@ -59,6 +68,8 @@ def main(argv=None) -> int:
         temporal_smooth=args.temporal_smooth,
         auto_range=args.auto_range,
         guidance_weight=args.guidance_weight,
+        fused=args.fused,
+        cache_depth=args.cache_depth,
     )
     return 1 if result.get("stopped") else 0
 

@@ -55,12 +55,21 @@ def run_pipeline(
     temporal_smooth: Optional[str] = None,
     auto_range: bool = False,
     guidance_weight: float = 0.7,
+    fused: bool = False,
+    cache_depth: bool = False,
 ) -> Dict:
     """Run the full pipeline; returns artifacts + per-step timings.
 
     ``min_correlation`` is the proceed threshold of the reference
     (align.py:172): below it the pipeline stops after alignment instead of
     asking interactively.
+
+    ``fused=True`` runs depth+upscale as ONE device-resident loop
+    (stages/fused.py): no intermediate PNG write/read, no extra
+    device<->host round trip per frame. The default (False) keeps the
+    reference's file-coupled stages (run_pipeline.py:61-111), whose PNG
+    cache is the resume mechanism; ``cache_depth=True`` makes fused mode
+    also write that cache.
     """
     work = Path(work_dir)
     work.mkdir(parents=True, exist_ok=True)
@@ -106,6 +115,49 @@ def run_pipeline(
         )
         result["sbs_start_frame"] = sbs_start
         result["guide_start_frame"] = guide_start
+
+    # Fused mode: depth + upscale in one device-resident loop
+    if fused and not skip_depth and not skip_upscale:
+        from video3d_tpu.core.cache import depth_cache_dir
+        from video3d_tpu.stages.fused import run_fused_depth_upscale
+
+        t0 = time.time()
+        extractor = StereoDepthExtractor(
+            work_dir=str(work), guidance=guidance, batch_size=batch_size,
+            temporal_smooth=temporal_smooth, stereo_weight=guidance_weight,
+        )
+        if auto_range:
+            extractor.apply_auto_range(
+                sbs_video, start_frame=sbs_start, n_frames=max_frames
+            )
+        cache = None
+        if cache_depth:
+            cache = depth_cache_dir(
+                extractor.work_dir, str(sbs_video), sbs_start,
+                max_frames if max_frames is not None else "all",
+                extractor._model_key(), extractor.unsqueeze_anamorphic,
+            )
+        out_name = work / f"depth_4k_fused_{Path(sbs_video).stem}.mp4"
+        fused_res = run_fused_depth_upscale(
+            sbs_video,
+            video_4k,
+            str(out_name),
+            sbs_start_frame=sbs_start,
+            guide_start_frame=guide_start,
+            max_frames=max_frames,
+            extractor=extractor,
+            upscale_method=upscale_method,
+            cache_depth=cache_depth,
+            cache_dir=cache,
+        )
+        timings["depth+upscale (fused)"] = time.time() - t0
+        result.update(fused_res)
+        timings["total"] = time.time() - t_total
+        print("\nPipeline summary (run_pipeline.py:113-127 contract):")
+        for step, dt in timings.items():
+            print(f"  {step:>10}: {dt:8.1f}s")
+        print(f"  output: {result['output']}")
+        return result
 
     # Step 2: depth extraction (run_pipeline.py:61-88)
     depth_dir: Optional[Path] = None
