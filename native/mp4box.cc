@@ -776,3 +776,445 @@ extern "C" int v3d_mp4_cut(const char* in_path, const char* out_path,
   }
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Box-level stream-copy concat: join same-codec MP4 segments without
+// re-encoding. The segment-parallel encoder (core/video.py
+// SegmentParallelVideoWriter) writes N independent segments -- one x264
+// worker per frame range -- and this stitches them into one file: sample
+// tables are merged (stts/ctts/stss/stsz rebuilt over the concatenated
+// sample runs), sample bytes are copied verbatim, and every input must
+// carry byte-identical stsd entries (same codec config) per track.
+//
+//   v3d_mp4_concat(in_paths, n_in, out, err, errlen) -> 0 ok, -1 error
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct InputTrack {
+  SampleTable st;
+  std::vector<uint8_t> stsd;  // raw stsd payload for compat check
+};
+
+// Same-codec check across segments. Byte-identical stsd is ideal, but
+// some encoders (cv2's mp4v/esds) embed content-dependent bitrate
+// stats, so fall back to comparing what actually governs decode: the
+// sample-entry format fourcc, video dimensions, and -- when present --
+// the full avcC decoder configuration.
+bool stsd_compatible(const std::vector<uint8_t>& a,
+                     const std::vector<uint8_t>& b, bool video) {
+  if (a == b) return true;
+  // payload: version/flags(4) entry_count(4) entry{size(4) fourcc(4) ...}
+  if (a.size() < 16 || b.size() < 16) return false;
+  if (memcmp(a.data() + 12, b.data() + 12, 4) != 0) return false;  // fourcc
+  if (video) {
+    // video sample entry: width/height at entry offset 32 -> payload 40
+    if (a.size() < 44 || b.size() < 44) return false;
+    if (memcmp(a.data() + 40, b.data() + 40, 4) != 0) return false;
+  }
+  // if both carry an avcC (H.264 decoder config), require it identical
+  auto find_avcc = [](const std::vector<uint8_t>& v) -> std::pair<size_t, size_t> {
+    for (size_t i = 0; i + 8 <= v.size(); i++) {
+      if (v[i + 4] == 'a' && v[i + 5] == 'v' && v[i + 6] == 'c' &&
+          v[i + 7] == 'C') {
+        uint64_t sz = rd32(v.data() + i);
+        if (sz >= 8 && i + sz <= v.size()) return {i, size_t(sz)};
+      }
+    }
+    return {0, 0};
+  };
+  auto pa = find_avcc(a), pb = find_avcc(b);
+  if (pa.second != pb.second) return false;
+  if (pa.second &&
+      memcmp(a.data() + pa.first, b.data() + pb.first, pa.second) != 0)
+    return false;
+  return true;
+}
+
+struct InputFile {
+  FILE* f = nullptr;
+  std::vector<uint8_t> ftyp;
+  Box moov;
+  std::vector<Box*> traks;
+  std::vector<InputTrack> tracks;
+};
+
+bool scan_top_level(FILE* f, std::vector<uint8_t>& ftyp,
+                    std::vector<uint8_t>& moov_raw, const Err& err) {
+  uint8_t hdr[16];
+  uint64_t off = 0;
+  for (;;) {
+    if (seek64(f, off) != 0) break;
+    if (fread(hdr, 1, 8, f) != 8) break;
+    uint64_t size = rd32(hdr);
+    uint32_t type = rd32(hdr + 4);
+    size_t h = 8;
+    if (size == 1) {
+      if (fread(hdr + 8, 1, 8, f) != 8) break;
+      size = rd64(hdr + 8);
+      h = 16;
+    } else if (size == 0) {
+      fseek(f, 0, SEEK_END);
+      size = uint64_t(tell64(f)) - off;
+      seek64(f, off + h);
+    }
+    if (size < h) break;
+    if (type == fourcc("ftyp") && size <= (1u << 20)) {
+      ftyp.resize(size_t(size));
+      seek64(f, off);
+      if (fread(ftyp.data(), 1, size_t(size), f) != size_t(size)) {
+        err.set("short read on ftyp");
+        return false;
+      }
+    } else if (type == fourcc("moov")) {
+      if (size > (512u << 20)) {
+        err.set("moov too large");
+        return false;
+      }
+      moov_raw.resize(size_t(size - h));
+      seek64(f, off + h);
+      if (fread(moov_raw.data(), 1, moov_raw.size(), f) != moov_raw.size()) {
+        err.set("short read on moov");
+        return false;
+      }
+    }
+    off += size;
+  }
+  return !moov_raw.empty();
+}
+
+bool load_input(const char* path, InputFile& in, const Err& err) {
+  in.f = fopen(path, "rb");
+  if (!in.f) {
+    err.set(std::string("cannot open ") + path);
+    return false;
+  }
+  std::vector<uint8_t> moov_raw;
+  if (!scan_top_level(in.f, in.ftyp, moov_raw, err)) {
+    if (moov_raw.empty()) err.set(std::string(path) + ": no moov box");
+    return false;
+  }
+  in.moov.type = fourcc("moov");
+  in.moov.container = true;
+  if (!parse_children(moov_raw.data(), moov_raw.size(), in.moov.children,
+                      err, 0))
+    return false;
+  for (Box& c : in.moov.children) {
+    if (c.type != fourcc("trak")) continue;
+    InputTrack t;
+    if (!expand_tables(c, t.st, err)) return false;
+    if (t.st.dts.empty()) {
+      err.set(std::string(path) + ": empty track");
+      return false;
+    }
+    Box* stbl = find_child(*find_child(*find_child(c, "mdia"), "minf"),
+                           "stbl");
+    Box* stsd = find_child(*stbl, "stsd");
+    if (stsd) t.stsd = stsd->payload;
+    in.traks.push_back(&c);
+    in.tracks.push_back(std::move(t));
+  }
+  if (in.tracks.empty()) {
+    err.set(std::string(path) + ": no tracks");
+    return false;
+  }
+  return true;
+}
+
+}  // namespace
+
+extern "C" int v3d_mp4_concat(const char* const* in_paths, int n_in,
+                              const char* out_path, char* errbuf,
+                              int errlen) {
+  Err err{errbuf, errlen};
+  if (n_in < 1) {
+    err.set("need at least one input");
+    return -1;
+  }
+  std::vector<InputFile> ins{size_t(n_in)};
+  auto cleanup = [&]() {
+    for (InputFile& in : ins)
+      if (in.f) fclose(in.f);
+  };
+  for (int i = 0; i < n_in; i++)
+    if (!load_input(in_paths[i], ins[size_t(i)], err)) {
+      cleanup();
+      return -1;
+    }
+
+  size_t n_tracks = ins[0].tracks.size();
+  for (int i = 1; i < n_in; i++) {
+    if (ins[size_t(i)].tracks.size() != n_tracks) {
+      err.set("inputs have different track counts");
+      cleanup();
+      return -1;
+    }
+    for (size_t t = 0; t < n_tracks; t++) {
+      const InputTrack& a = ins[0].tracks[t];
+      const InputTrack& b = ins[size_t(i)].tracks[t];
+      if (a.st.timescale != b.st.timescale || a.st.video != b.st.video ||
+          !stsd_compatible(a.stsd, b.stsd, a.st.video)) {
+        err.set("inputs are not codec-compatible (stsd/timescale differ)");
+        cleanup();
+        return -1;
+      }
+    }
+  }
+
+  Box& moov = ins[0].moov;  // template: first input's tree
+  Box* mvhd = find_child(moov, "mvhd");
+  if (!mvhd || mvhd->payload.size() < 20) {
+    err.set("missing mvhd");
+    cleanup();
+    return -1;
+  }
+  uint32_t movie_ts = (mvhd->payload[0] == 1)
+                          ? rd32(mvhd->payload.data() + 20)
+                          : rd32(mvhd->payload.data() + 12);
+  if (movie_ts == 0) {
+    err.set("zero movie timescale");
+    cleanup();
+    return -1;
+  }
+
+  // merged per-track data
+  struct OutTrack {
+    std::vector<uint32_t> delta;
+    std::vector<int64_t> ctts;
+    std::vector<uint32_t> size;
+    std::vector<uint8_t> sync;
+    bool any_ctts = false, any_stss = false;
+    uint64_t data_bytes = 0;
+    uint64_t out_chunk_offset = 0;
+  };
+  std::vector<OutTrack> outs(n_tracks);
+  for (size_t t = 0; t < n_tracks; t++) {
+    OutTrack& o = outs[t];
+    for (int i = 0; i < n_in; i++) {
+      const SampleTable& st = ins[size_t(i)].tracks[t].st;
+      if (!st.ctts.empty()) o.any_ctts = true;
+      if (!st.sync.empty()) o.any_stss = true;
+    }
+    for (int i = 0; i < n_in; i++) {
+      const SampleTable& st = ins[size_t(i)].tracks[t].st;
+      size_t n = st.dts.size();
+      o.delta.insert(o.delta.end(), st.delta.begin(), st.delta.end());
+      for (size_t s = 0; s < n; s++) {
+        o.ctts.push_back(st.ctts.empty() ? 0 : st.ctts[s]);
+        o.sync.push_back(st.sync.empty() ? 1 : st.sync[s]);
+        o.data_bytes += st.size[s];
+      }
+      o.size.insert(o.size.end(), st.size.begin(), st.size.end());
+    }
+  }
+
+  // rebuild each template trak's stbl over the merged runs
+  uint64_t movie_dur = 0;
+  for (size_t t = 0; t < n_tracks; t++) {
+    OutTrack& o = outs[t];
+    Box* trak = ins[0].traks[t];
+    uint32_t timescale = ins[0].tracks[t].st.timescale;
+    uint64_t tdur = 0;
+    for (uint32_t d : o.delta) tdur += d;
+    uint64_t mdur = tdur * movie_ts / timescale;
+    if (mdur > movie_dur) movie_dur = mdur;
+
+    Box* mdia = find_child(*trak, "mdia");
+    Box* minf = find_child(*mdia, "minf");
+    Box* stbl = find_child(*minf, "stbl");
+    size_t n = o.delta.size();
+
+    std::vector<Box> nb;
+    bool wrote_ctts = false, wrote_stss = false;
+    for (Box& c : stbl->children) {
+      uint32_t ty = c.type;
+      if (ty == fourcc("stts")) {
+        Box b;
+        b.type = ty;
+        auto runs = rle(o.delta);
+        wr32(b.payload, 0);
+        wr32(b.payload, uint32_t(runs.size()));
+        for (auto& r : runs) {
+          wr32(b.payload, r.first);
+          wr32(b.payload, r.second);
+        }
+        nb.push_back(std::move(b));
+      } else if (ty == fourcc("ctts")) {
+        if (!o.any_ctts) continue;
+        Box b;
+        b.type = ty;
+        auto runs = rle(o.ctts);
+        b.payload.push_back(1);  // version 1: signed offsets
+        b.payload.push_back(0);
+        b.payload.push_back(0);
+        b.payload.push_back(0);
+        wr32(b.payload, uint32_t(runs.size()));
+        for (auto& r : runs) {
+          wr32(b.payload, r.first);
+          wr32(b.payload, uint32_t(int32_t(r.second)));
+        }
+        nb.push_back(std::move(b));
+        wrote_ctts = true;
+      } else if (ty == fourcc("stss")) {
+        if (!o.any_stss) continue;
+        Box b;
+        b.type = ty;
+        std::vector<uint32_t> syncs;
+        for (size_t i = 0; i < n; i++)
+          if (o.sync[i]) syncs.push_back(uint32_t(i + 1));
+        wr32(b.payload, 0);
+        wr32(b.payload, uint32_t(syncs.size()));
+        for (uint32_t s : syncs) wr32(b.payload, s);
+        nb.push_back(std::move(b));
+        wrote_stss = true;
+      } else if (ty == fourcc("stsc")) {
+        Box b;
+        b.type = ty;
+        wr32(b.payload, 0);
+        wr32(b.payload, 1);  // one chunk holding every sample
+        wr32(b.payload, 1);
+        wr32(b.payload, uint32_t(n));
+        wr32(b.payload, 1);
+        nb.push_back(std::move(b));
+      } else if (ty == fourcc("stsz")) {
+        Box b;
+        b.type = ty;
+        wr32(b.payload, 0);
+        wr32(b.payload, 0);
+        wr32(b.payload, uint32_t(n));
+        for (size_t i = 0; i < n; i++) wr32(b.payload, o.size[i]);
+        nb.push_back(std::move(b));
+      } else if (ty == fourcc("stco") || ty == fourcc("co64")) {
+        Box b;
+        b.type = fourcc("co64");  // placeholder; patched after layout
+        wr32(b.payload, 0);
+        wr32(b.payload, 1);
+        wr64(b.payload, 0);
+        nb.push_back(std::move(b));
+      } else {
+        nb.push_back(std::move(c));
+      }
+    }
+    // a later segment may have ctts/stss where segment 0 had none
+    if (o.any_ctts && !wrote_ctts) {
+      Box b;
+      b.type = fourcc("ctts");
+      auto runs = rle(o.ctts);
+      b.payload.push_back(1);
+      b.payload.push_back(0);
+      b.payload.push_back(0);
+      b.payload.push_back(0);
+      wr32(b.payload, uint32_t(runs.size()));
+      for (auto& r : runs) {
+        wr32(b.payload, r.first);
+        wr32(b.payload, uint32_t(int32_t(r.second)));
+      }
+      nb.push_back(std::move(b));
+    }
+    if (o.any_stss && !wrote_stss) {
+      Box b;
+      b.type = fourcc("stss");
+      std::vector<uint32_t> syncs;
+      for (size_t i = 0; i < n; i++)
+        if (o.sync[i]) syncs.push_back(uint32_t(i + 1));
+      wr32(b.payload, 0);
+      wr32(b.payload, uint32_t(syncs.size()));
+      for (uint32_t s : syncs) wr32(b.payload, s);
+      nb.push_back(std::move(b));
+    }
+    stbl->children = std::move(nb);
+
+    set_duration(find_child(*mdia, "mdhd"), tdur, 16, 24);
+    set_duration(find_child(*trak, "tkhd"), mdur, 20, 28);
+    for (size_t i = 0; i < trak->children.size(); i++)
+      if (trak->children[i].type == fourcc("edts")) {
+        trak->children.erase(trak->children.begin() + long(i));
+        break;
+      }
+  }
+  set_duration(mvhd, movie_dur, 16, 24);
+
+  // layout: [ftyp][moov][mdat hdr][track0: seg0..segN][track1: ...]
+  uint64_t mdat_payload = 0;
+  for (OutTrack& o : outs) mdat_payload += o.data_bytes;
+  size_t moov_size = serialized_size(moov);
+  uint64_t mdat_hdr = (mdat_payload + 8 > 0xffffffffu) ? 16 : 8;
+  uint64_t cursor = ins[0].ftyp.size() + moov_size + mdat_hdr;
+  for (OutTrack& o : outs) {
+    o.out_chunk_offset = cursor;
+    cursor += o.data_bytes;
+  }
+  for (size_t t = 0; t < n_tracks; t++) {
+    Box* stbl = find_child(
+        *find_child(*find_child(*ins[0].traks[t], "mdia"), "minf"), "stbl");
+    Box* co = find_child(*stbl, "co64");
+    co->payload.clear();
+    wr32(co->payload, 0);
+    wr32(co->payload, 1);
+    wr64(co->payload, outs[t].out_chunk_offset);
+  }
+
+  std::vector<uint8_t> moov_bytes;
+  serialize(moov, moov_bytes);
+  if (moov_bytes.size() != moov_size) {
+    err.set("internal: moov size changed after offset patch");
+    cleanup();
+    return -1;
+  }
+
+  FILE* o = fopen(out_path, "wb");
+  if (!o) {
+    err.set(std::string("cannot create ") + out_path);
+    cleanup();
+    return -1;
+  }
+  bool ok = true;
+  const std::vector<uint8_t>& ftyp = ins[0].ftyp;
+  ok = ok && (ftyp.empty() ||
+              fwrite(ftyp.data(), 1, ftyp.size(), o) == ftyp.size());
+  ok = ok &&
+       fwrite(moov_bytes.data(), 1, moov_bytes.size(), o) == moov_bytes.size();
+  {
+    std::vector<uint8_t> h;
+    if (mdat_hdr == 16) {
+      wr32(h, 1);
+      wrtype(h, "mdat");
+      wr64(h, mdat_payload + 16);
+    } else {
+      wr32(h, uint32_t(mdat_payload + 8));
+      wrtype(h, "mdat");
+    }
+    ok = ok && fwrite(h.data(), 1, h.size(), o) == h.size();
+  }
+  std::vector<uint8_t> buf(1 << 20);
+  for (size_t t = 0; ok && t < n_tracks; t++) {
+    for (int i = 0; ok && i < n_in; i++) {
+      InputFile& in = ins[size_t(i)];
+      const SampleTable& st = in.tracks[t].st;
+      for (size_t s = 0; ok && s < st.offset.size(); s++) {
+        if (seek64(in.f, st.offset[s]) != 0) {
+          ok = false;
+          break;
+        }
+        size_t left = st.size[s];
+        while (left > 0) {
+          size_t chunk = left < buf.size() ? left : buf.size();
+          if (fread(buf.data(), 1, chunk, in.f) != chunk ||
+              fwrite(buf.data(), 1, chunk, o) != chunk) {
+            ok = false;
+            break;
+          }
+          left -= chunk;
+        }
+      }
+    }
+  }
+  cleanup();
+  fclose(o);
+  if (!ok) {
+    err.set("I/O error while copying samples");
+    remove(out_path);
+    return -1;
+  }
+  return 0;
+}

@@ -127,3 +127,72 @@ def test_extract_stage_uses_native_cut(tmp_path, monkeypatch):
     got2 = decode_all(res["video2"])
     m = [k for k in range(len(orig2)) if np.array_equal(orig2[k], got2[0])]
     assert m and m[0] <= int((24 / 24.0 + 0.5) * 24) + 1
+
+
+def test_native_concat_bit_identical(tmp_path):
+    """v3d_mp4_concat joins same-codec segments without re-encoding:
+    decoded frames must equal each segment's own decode, in order."""
+    import cv2
+
+    from video3d_tpu.core._native import concat_mp4, lib
+
+    if lib() is None:
+        pytest.skip("native library not built")
+
+    def write(path, n, seed):
+        w = cv2.VideoWriter(str(path), cv2.VideoWriter_fourcc(*"mp4v"),
+                            24, (128, 64))
+        base = np.random.default_rng(seed).integers(
+            0, 255, (64, 128, 3), np.uint8)
+        base = cv2.GaussianBlur(base, (0, 0), 2)
+        for i in range(n):
+            w.write(np.roll(base, i * 2, axis=1))
+        w.release()
+
+    def dec(p):
+        c = cv2.VideoCapture(str(p))
+        fs = []
+        while True:
+            ok, f = c.read()
+            if not ok:
+                break
+            fs.append(f)
+        return fs
+
+    segs = [tmp_path / f"seg{i}.mp4" for i in range(3)]
+    for i, s in enumerate(segs):
+        write(s, 4 + i, i)
+    out = tmp_path / "cat.mp4"
+    assert concat_mp4([str(s) for s in segs], str(out)) is None
+    got = dec(out)
+    ref = sum((dec(s) for s in segs), [])
+    assert len(got) == len(ref) == 4 + 5 + 6
+    for a, b in zip(got, ref):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_segment_parallel_writer(tmp_path):
+    """SegmentParallelVideoWriter output decodes to the same frame count
+    and near-identical content as the frames written."""
+    from video3d_tpu.core import SegmentParallelVideoWriter, VideoReader
+
+    rng = np.random.default_rng(0)
+    import cv2
+
+    base = cv2.GaussianBlur(
+        rng.integers(0, 255, (64, 128, 3), np.uint8), (0, 0), 2)
+    frames = [np.roll(base, i * 3, axis=1) for i in range(25)]
+    out = tmp_path / "seg_par.mp4"
+    with SegmentParallelVideoWriter(str(out), 128, 64, 24.0, workers=3,
+                                    segment_frames=8) as w:
+        for f in frames:
+            w.write(f)
+    decoded = []
+    for batch, valid in VideoReader(str(out), batch_size=8):
+        decoded.extend(batch[:valid])
+    assert len(decoded) == 25
+    diff = np.mean([
+        np.abs(d.astype(np.int32) - f.astype(np.int32)).mean()
+        for d, f in zip(decoded, frames)
+    ])
+    assert diff < 8.0  # lossy codec tolerance

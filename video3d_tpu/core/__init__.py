@@ -26,6 +26,7 @@ from video3d_tpu.core.audio import (
     write_wav,
 )
 from video3d_tpu.core.video import (
+    SegmentParallelVideoWriter,
     VideoReader,
     VideoWriter,
     ffmpeg_available,
@@ -50,6 +51,7 @@ __all__ = [
     "write_wav",
     "VideoReader",
     "VideoWriter",
+    "SegmentParallelVideoWriter",
     "ffmpeg_available",
     "save_depth_png16",
     "load_depth_png16",

@@ -83,6 +83,12 @@ def lib() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_double,
             ctypes.c_double, ctypes.c_char_p, ctypes.c_int,
         ]
+    if hasattr(l, "v3d_mp4_concat"):
+        l.v3d_mp4_concat.restype = ctypes.c_int
+        l.v3d_mp4_concat.argtypes = [
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+        ]
     _lib = l
     return _lib
 
@@ -107,6 +113,30 @@ def cut_mp4(in_path: str, out_path: str, start_s: float,
     )
     if rc != 0:
         return err.value.decode(errors="replace") or "mp4 cut failed"
+    return None
+
+
+def concat_mp4(in_paths: List[str], out_path: str) -> Optional[str]:
+    """Box-level stream-copy concat of same-codec MP4 segments.
+
+    Joins the segment files the segment-parallel encoder writes
+    (core/video.py SegmentParallelVideoWriter) without re-encoding:
+    sample tables are merged and sample bytes copied verbatim. Every
+    input must have byte-identical codec configuration (stsd) per
+    track. Returns None on success, an error string on failure, and
+    "native library unavailable" when the lib isn't built.
+    """
+    l = lib()
+    if l is None or not hasattr(l, "v3d_mp4_concat"):
+        return "native library unavailable"
+    arr = (ctypes.c_char_p * len(in_paths))(
+        *[str(p).encode() for p in in_paths]
+    )
+    err = ctypes.create_string_buffer(512)
+    rc = l.v3d_mp4_concat(arr, len(in_paths), str(out_path).encode(), err,
+                          len(err))
+    if rc != 0:
+        return err.value.decode(errors="replace") or "mp4 concat failed"
     return None
 
 
