@@ -193,11 +193,11 @@ def test_guidance_blend_weight():
         frames, params=params, unsqueeze=False, apply_speckle=False))
     w1 = np.asarray(depth_batch_pipeline(
         frames, params=params, unsqueeze=False, apply_speckle=False,
-        guidance_fn=guidance, stereo_weight=1.0))
+        guidance_fn=guidance, stereo_weight=1.0, blend="fixed"))
     np.testing.assert_array_equal(base, w1)
     w0 = np.asarray(depth_batch_pipeline(
         frames, params=params, unsqueeze=False, apply_speckle=False,
-        guidance_fn=guidance, stereo_weight=0.0))
+        guidance_fn=guidance, stereo_weight=0.0, blend="fixed"))
     want = np.round(5.0 * 65535.0 / 16.0)
     assert np.all(np.abs(w0.astype(np.float64) - want) <= 1.0)
 

@@ -243,3 +243,122 @@ def test_speckle_band_coverage_num_disparities_96():
     assert (out[0, 10:12, 10:13] == invalid).all()
     assert (out[0, 30:32, 40:43] == invalid).all()
     assert (out[0] == 80.0).mean() > 0.9
+
+
+def test_return_margin_paths_agree():
+    """The uniqueness margin (confidence signal for blend='confidence')
+    must agree between the HWD and D-major WTA paths, be >= 0, and be
+    high on textured pixels."""
+    import jax.numpy as jnp
+
+    from video3d_tpu.kernels.sgm import (
+        sgm_aggregate_pallas_dmajor, sgm_wta_pallas_dmajor,
+    )
+    from video3d_tpu.ops.stereo import (
+        box_aggregate, box_aggregate_hw, bt_cost_volume,
+        bt_cost_volume_dmajor, wta_disparity_dmajor,
+    )
+
+    rng = np.random.default_rng(7)
+    left = _texture(rng)
+    right = _shift_right_view(left, 6.0)
+    params = SGBMParams(num_disparities=16, speckle_window_size=0)
+    lf = xsobel_clip(jnp.asarray(left[None]), params.prefilter_cap)
+    rf = xsobel_clip(jnp.asarray(right[None]), params.prefilter_cap)
+
+    cost = jnp.minimum(box_aggregate(
+        bt_cost_volume(lf, rf, 16), params.block_size), 1e9)
+    agg = sgm_aggregate(cost, params)
+    disp_a, marg_a = wta_disparity(agg, params, return_margin=True)
+
+    cost_d = jnp.minimum(box_aggregate_hw(
+        bt_cost_volume_dmajor(lf, rf, 16), params.block_size), 1e9)
+    agg_d = sgm_aggregate_pallas_dmajor(
+        cost_d, params.num_paths, params.p1, params.p2, interpret=True)
+    disp_b, marg_b = wta_disparity_dmajor(agg_d, params, return_margin=True)
+    # the fused Pallas WTA's margin output must match the jnp dmajor WTA
+    disp_c, marg_c = sgm_wta_pallas_dmajor(cost_d, params, interpret=True,
+                                           return_margin=True)
+
+    np.testing.assert_allclose(np.asarray(disp_a), np.asarray(disp_b),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(marg_a), np.asarray(marg_b),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(disp_b), np.asarray(disp_c),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(marg_b), np.asarray(marg_c),
+                               rtol=1e-4, atol=1e-5)
+    m = np.asarray(marg_a)
+    assert (m >= 0).all()
+    # strongly textured scene: interior valid pixels carry real margin
+    valid = np.asarray(disp_a) >= 0
+    assert m[valid].mean() > 0.05
+
+
+def test_confidence_blend_prefers_guidance_on_low_texture():
+    """blend='confidence' must hand low-texture pixels to the guidance
+    entirely (VERDICT r2 weak-3: the fixed 0.7/0.3 dilutes the learned
+    backend exactly where it wins), and elsewhere mix by the exact
+    texture-gated confidence from ops.stereo."""
+    import jax.numpy as jnp
+
+    from video3d_tpu.ops.image import rgb_to_gray
+    from video3d_tpu.stages.depth import depth_batch_pipeline
+
+    rng = np.random.default_rng(8)
+    h, w, shift = 64, 128, 4
+    tex = _texture(rng, h, w + shift)
+    # left half textured, right half flat (low texture)
+    tex[:, w // 2:] = 100.0
+    left = tex[:, shift:shift + w]
+    right = tex[:, :w]
+    frame = np.concatenate([left, right], axis=1)
+    frames = np.repeat(frame[None, ..., None], 3, axis=-1).astype(np.uint8)
+
+    const_guide = 11.0  # "learned backend" says disparity 11 everywhere
+
+    def guidance_fn(left_rgb, right_rgb):
+        return jnp.full(left_rgb.shape[:-1], const_guide, jnp.float32)
+
+    # stereo-style guidance: predicts true disparity, bypasses the mono
+    # per-frame normalization (which would map a constant to 0)
+    guidance_fn.stereo = True
+
+    params = SGBMParams(num_disparities=16, speckle_window_size=0)
+    out = depth_batch_pipeline(
+        frames, params=params, unsqueeze=False, apply_speckle=False,
+        guidance_fn=guidance_fn, blend="confidence",
+    )
+    disp = np.asarray(out[0]).astype(np.float32) * 16.0 / 65535.0
+
+    # oracle: the same stereo + confidence the stage should have used
+    gl = rgb_to_gray(jnp.asarray(frames[..., :w, :], jnp.float32))
+    gr = rgb_to_gray(jnp.asarray(frames[..., w:, :], jnp.float32))
+    sdisp, conf = sgbm_disparity(gl, gr, params, apply_speckle=False,
+                                 return_margin=True)
+    sdisp = np.asarray(sdisp)[0]
+    conf = np.where(sdisp > params.min_disparity - 0.5,
+                    np.asarray(conf)[0], 0.0)
+    expect = conf * np.maximum(sdisp, 0.0) + (1.0 - conf) * const_guide
+
+    # the pipeline output IS the confidence blend (quantization tol)
+    np.testing.assert_allclose(disp, np.minimum(expect, 16.0), atol=0.01)
+
+    # flat region (zero texture): confidence collapses to 0 and the
+    # guidance takes over completely -- the round-2 failure mode was an
+    # inverted margin signal here (smoothness penalty read as evidence)
+    flat = (slice(10, -10), slice(w // 2 + 20, -10))
+    assert conf[flat].max() < 0.05, conf[flat].max()
+    assert abs(disp[flat].mean() - const_guide) < 0.5, disp[flat].mean()
+
+    # textured region: real confidence mass exists, and wherever the
+    # matcher is confident the output stays on the stereo answer
+    texr = (slice(10, -10), slice(params.num_disparities + 2, w // 2 - 10))
+    assert conf[texr].mean() > 0.15, conf[texr].mean()
+    strong = conf[texr] > 0.7
+    assert strong.mean() > 0.05, strong.mean()
+    # conf > 0.7 => the blend sits within 0.3 of stereo's distance to
+    # the guidance: strictly closer to the stereo answer
+    d_stereo = np.abs(disp[texr][strong] - sdisp[texr][strong])
+    d_guide = np.abs(disp[texr][strong] - const_guide)
+    assert (d_stereo < d_guide).mean() > 0.9, (d_stereo < d_guide).mean()

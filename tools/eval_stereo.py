@@ -92,9 +92,10 @@ def main() -> None:
     preds = {}
 
     gr = rgb_to_gray(jnp.asarray(right))
-    preds["sgm"] = np.asarray(
-        sgbm_disparity(jnp.asarray(gl), gr, params, apply_speckle=True)
+    sgm_j, conf_j = sgbm_disparity(
+        jnp.asarray(gl), gr, params, apply_speckle=True, return_margin=True
     )
+    preds["sgm"] = np.asarray(sgm_j)
 
     if args.ckpt and os.path.isdir(args.ckpt):
         from video3d_tpu.models.crestereo import load_crestereo_guidance
@@ -103,10 +104,15 @@ def main() -> None:
         cre = np.asarray(cre_fn(jnp.asarray(left), jnp.asarray(right)))
         preds["crestereo"] = cre
         sgm = preds["sgm"]
-        # the depth stage's blend contract (0.7 stereo + 0.3 guidance,
-        # reference depth.py:363); guidance fills SGM holes entirely
-        blend = np.where(sgm != invalid, 0.7 * sgm + 0.3 * cre, cre)
-        preds["hybrid"] = blend
+        # reference blend contract (0.7 stereo + 0.3 guidance,
+        # depth.py:363); guidance fills SGM holes entirely
+        preds["hybrid_fixed"] = np.where(
+            sgm != invalid, 0.7 * sgm + 0.3 * cre, cre
+        )
+        # shipped default: confidence-weighted blend (stages/depth.py
+        # blend='confidence' -- texture-gated uniqueness margin)
+        conf = np.where(sgm != invalid, np.asarray(conf_j), 0.0)
+        preds["hybrid_conf"] = conf * np.maximum(sgm, 0.0) + (1 - conf) * cre
     else:
         print("no CREStereo checkpoint -- evaluating SGM only")
 

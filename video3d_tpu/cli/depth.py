@@ -52,9 +52,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "range.")
     p.add_argument("--range-sample-frames", type=int, default=6)
     p.add_argument("--guidance-weight", type=float, default=0.7,
-                   help="Stereo weight of the guidance blend (reference "
-                        "contract 0.7; 0 = pure learned backend, which "
-                        "our eval prefers on low-texture content)")
+                   help="Stereo weight of the FIXED guidance blend "
+                        "(reference contract 0.7; only used with "
+                        "--blend fixed)")
+    p.add_argument("--blend", default="confidence",
+                   choices=("confidence", "fixed"),
+                   help="Guidance mixing: 'confidence' (default) weights "
+                        "stereo per pixel by its SGM uniqueness margin "
+                        "(learned backend takes over where matching "
+                        "starves); 'fixed' is the reference 0.7/0.3 "
+                        "contract (depth.py:358-363)")
     p.add_argument("--temporal-smooth", default=None,
                    choices=("none", "median", "flow"),
                    help="Temporal depth filtering: 'median' = median-of-3 "
@@ -101,6 +108,7 @@ def main(argv=None) -> int:
         temporal_median=args.temporal_median,
         temporal_smooth=args.temporal_smooth,
         stereo_weight=args.guidance_weight,
+        blend=args.blend,
     )
     from video3d_tpu.utils.profiling import trace
 

@@ -38,6 +38,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Probe and narrow the disparity range before the "
                         "depth stage (see video-3d-depth --auto-range)")
     p.add_argument("--guidance-weight", type=float, default=0.7)
+    p.add_argument("--blend", default="confidence",
+                   choices=("confidence", "fixed"),
+                   help="Guidance mixing mode (see video-3d-depth --blend)")
     p.add_argument("--fused", action="store_true",
                    help="Run depth+upscale as one device-resident loop: "
                         "no intermediate PNG round trip (stages/fused.py). "
@@ -68,6 +71,7 @@ def main(argv=None) -> int:
         temporal_smooth=args.temporal_smooth,
         auto_range=args.auto_range,
         guidance_weight=args.guidance_weight,
+        blend=args.blend,
         fused=args.fused,
         cache_depth=args.cache_depth,
     )

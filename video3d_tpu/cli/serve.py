@@ -52,6 +52,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=("none", "median", "flow"),
                    help="Default temporal depth filtering for jobs that "
                         "don't set one")
+    p.add_argument("--blend", default="confidence",
+                   choices=("confidence", "fixed"),
+                   help="Guidance mixing mode (see video-3d-depth --blend)")
     p.add_argument("--submit", default=None, metavar="JOB_JSON",
                    help="Client mode: send one request (a JSON file, an "
                    "inline JSON string, or '-' for stdin) and exit")
@@ -93,6 +96,7 @@ def main(argv=None) -> int:
         model_checkpoint=args.model,
         unsqueeze_anamorphic=not args.no_unsqueeze,
         temporal_smooth=args.temporal_smooth,
+        blend=args.blend,
     )
 
     sock_path = Path(args.socket)

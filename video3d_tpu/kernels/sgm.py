@@ -375,6 +375,7 @@ def _final_wta_kernel_dmajor(
     cost_ref,
     acc_ref,
     disp_ref,
+    margin_ref,
     carry_ref,
     *,
     shifts: Tuple[int, ...],
@@ -467,12 +468,19 @@ def _final_wta_kernel_dmajor(
         x_iota = jax.lax.broadcasted_iota(jnp.int32, s_min.shape, 1)
         valid &= x_iota >= min_disparity + nd
 
-        if uniqueness_ratio > 0:
+        if uniqueness_ratio > 0 or margin_ref is not None:
             near = jnp.abs(d_iota - d_int[:, None, :]) <= 1
             second = jnp.min(
                 jnp.where(near, jnp.asarray(sent, ct), total), axis=1
             ).astype(jnp.float32)
-            valid &= second * 100.0 >= s_min * (100.0 + uniqueness_ratio)
+            if uniqueness_ratio > 0:
+                valid &= second * 100.0 >= s_min * (100.0 + uniqueness_ratio)
+            if margin_ref is not None:
+                # relative uniqueness margin: the guidance blend's
+                # confidence signal (stages/depth.py blend='confidence')
+                margin_ref[:, r, 0, :] = jnp.maximum(
+                    second - s_min, 0.0
+                ) / (s_min + 1.0)
 
         if disp12_max_diff >= 0:
             # right-image WTA via ONE sheared view of the row total:
@@ -539,7 +547,8 @@ def sgm_wta_pallas_dmajor(
     cost: jnp.ndarray,
     params,
     interpret: bool = False,
-) -> jnp.ndarray:
+    return_margin: bool = False,
+):
     """Full SGM aggregation + WTA, D-major: (B, H, D, W) cost -> (B, H, W).
 
     Passes 1-3 accumulate as in :func:`sgm_aggregate_pallas_dmajor`; the
@@ -574,7 +583,8 @@ def sgm_wta_pallas_dmajor(
         # so run plain WTA on the accumulated volume instead
         from video3d_tpu.ops.stereo import wta_disparity_dmajor
 
-        return wta_disparity_dmajor(acc, params)
+        return wta_disparity_dmajor(acc, params,
+                                    return_margin=return_margin)
 
     # final pass fused with WTA (tighter budget: the in-kernel
     # WTA needs scratch headroom for its temporaries -- a few (bb, D, W)
@@ -600,8 +610,7 @@ def sgm_wta_pallas_dmajor(
     disp_spec = pl.BlockSpec(
         (bb, rps, 1, w), index_map, memory_space=pltpu.VMEM
     )
-    kernel = functools.partial(
-        _final_wta_kernel_dmajor,
+    common = dict(
         shifts=shifts,
         p1=p1,
         p2=p2,
@@ -610,6 +619,30 @@ def sgm_wta_pallas_dmajor(
         disp12_max_diff=int(params.disp12_max_diff),
         reverse=final_reverse,
     )
+    if return_margin:
+        def kernel_m(cost_ref, acc_ref, disp_ref, margin_ref, carry_ref):
+            _final_wta_kernel_dmajor(cost_ref, acc_ref, disp_ref,
+                                     margin_ref, carry_ref, **common)
+
+        disp, margin = pl.pallas_call(
+            kernel_m,
+            grid=(b // bb, nblk),
+            in_specs=[spec, spec],
+            out_specs=(disp_spec, disp_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, h, 1, w), jnp.float32),
+                jax.ShapeDtypeStruct((b, h, 1, w), jnp.float32),
+            ),
+            scratch_shapes=[pltpu.VMEM((len(shifts), bb, d, w),
+                                       jnp.float32)],
+            interpret=interpret,
+        )(cost, acc)
+        return disp[:, :, 0, :], margin[:, :, 0, :]
+
+    def kernel(cost_ref, acc_ref, disp_ref, carry_ref):
+        _final_wta_kernel_dmajor(cost_ref, acc_ref, disp_ref, None,
+                                 carry_ref, **common)
+
     disp = pl.pallas_call(
         kernel,
         grid=(b // bb, nblk),

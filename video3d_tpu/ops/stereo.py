@@ -343,11 +343,17 @@ def sgm_aggregate(cost: jnp.ndarray, params: SGBMParams) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def wta_disparity(agg: jnp.ndarray, params: SGBMParams) -> jnp.ndarray:
+def wta_disparity(agg: jnp.ndarray, params: SGBMParams,
+                  return_margin: bool = False):
     """Sub-pixel disparity from the aggregated volume, with validation.
 
     Returns float32 (B, H, W); invalid pixels are ``min_disparity - 1``
     (callers clamp <=0 to 0 per reference depth.py:374).
+
+    ``return_margin`` also returns the relative uniqueness margin
+    ``(second - s_min) / (s_min + 1)`` per pixel -- the same quantity the
+    OpenCV uniqueness test thresholds -- as a match-confidence signal for
+    the guidance blend (stages/depth.py blend='confidence').
     """
     b, h, w, nd = agg.shape
     d_int = jnp.argmin(agg, axis=-1)  # (B, H, W)
@@ -380,12 +386,16 @@ def wta_disparity(agg: jnp.ndarray, params: SGBMParams) -> jnp.ndarray:
 
     # uniqueness ratio (OpenCV: any d with |d - d*| > 1 whose cost is within
     # (100 + ratio)% of the minimum invalidates the pixel)
-    if params.uniqueness_ratio > 0:
+    margin = None
+    if params.uniqueness_ratio > 0 or return_margin:
         ds = jnp.arange(nd)
         near = jnp.abs(ds[None, None, None, :] - d_int[..., None]) <= 1
         masked = jnp.where(near, BIG, agg)
         second = jnp.min(masked, axis=-1)
-        valid &= second * 100.0 >= s_min * (100.0 + params.uniqueness_ratio)
+        if params.uniqueness_ratio > 0:
+            valid &= second * 100.0 >= s_min * (100.0 + params.uniqueness_ratio)
+        if return_margin:
+            margin = jnp.clip(second - s_min, 0.0, BIG) / (s_min + 1.0)
 
     # left-right consistency from the same aggregated volume:
     # S_R(x, d) = S_L(x + d, d); check |d_L(x) - d_R(x - d_L(x))| <= maxdiff.
@@ -432,10 +442,14 @@ def wta_disparity(agg: jnp.ndarray, params: SGBMParams) -> jnp.ndarray:
             lr_ok |= (d_round == dd) & ok_dd
         valid &= lr_ok
 
-    return jnp.where(valid, disp, INVALID(params))
+    out = jnp.where(valid, disp, INVALID(params))
+    if return_margin:
+        return out, margin
+    return out
 
 
-def wta_disparity_dmajor(agg: jnp.ndarray, params: SGBMParams) -> jnp.ndarray:
+def wta_disparity_dmajor(agg: jnp.ndarray, params: SGBMParams,
+                         return_margin: bool = False):
     """WTA + validation on a D-major aggregated volume (B, H, D, W).
 
     Same semantics as :func:`wta_disparity` (tested equal), but every
@@ -472,12 +486,16 @@ def wta_disparity_dmajor(agg: jnp.ndarray, params: SGBMParams) -> jnp.ndarray:
     valid &= (xs_full >= min_d + nd)[None, None, :]
 
     # pass 2: uniqueness -- best cost outside the +-1 neighborhood
-    if params.uniqueness_ratio > 0:
+    margin = None
+    if params.uniqueness_ratio > 0 or return_margin:
         second = jnp.full_like(big, BIG)
         for dd in range(nd):
             plane = jnp.where(jnp.abs(dd - d_int) <= 1, BIG, agg[:, :, dd])
             second = jnp.minimum(second, plane)
-        valid &= second * 100.0 >= s_min * (100.0 + params.uniqueness_ratio)
+        if params.uniqueness_ratio > 0:
+            valid &= second * 100.0 >= s_min * (100.0 + params.uniqueness_ratio)
+        if return_margin:
+            margin = jnp.clip(second - s_min, 0.0, BIG) / (s_min + 1.0)
 
     # pass 3: left-right consistency, all static W-shifts
     if params.disp12_max_diff >= 0:
@@ -509,7 +527,10 @@ def wta_disparity_dmajor(agg: jnp.ndarray, params: SGBMParams) -> jnp.ndarray:
             )
         valid &= lr_ok
 
-    return jnp.where(valid, disp, INVALID(params))
+    out = jnp.where(valid, disp, INVALID(params))
+    if return_margin:
+        return out, margin
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -517,16 +538,67 @@ def wta_disparity_dmajor(agg: jnp.ndarray, params: SGBMParams) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def match_confidence(
+    margin: jnp.ndarray,
+    texture: jnp.ndarray,
+    margin_mid: float = 0.5,
+    texture_mid: float = 8.0,
+) -> jnp.ndarray:
+    """Per-pixel stereo-match confidence in [0, 1].
+
+    Product of two squashed signals:
+
+    * ``margin`` -- the relative uniqueness margin of the aggregated
+      volume (:func:`wta_disparity` ``return_margin``), which separates
+      sharp minima from ambiguous ones *among textured matches*;
+    * ``texture`` -- windowed mean |x-sobel| energy of the left view,
+      which measures whether there is data evidence at all. This gate is
+      essential: in aperture-less (flat) regions the aggregated volume's
+      margin is pure smoothness-penalty structure (large!), not
+      evidence, so the margin alone is inverted there. OpenCV's own
+      StereoBM ``textureThreshold`` is this gate.
+
+    Each signal is squashed by x^2/(x^2 + mid^2) (0.5 at ``mid``,
+    quadratic shoulder). Midpoints calibrated by sweep on the eval
+    distribution (tools/eval_stereo.py): the blended hybrid's bad1/bad3
+    beat both parents (SGM and pure CREStereo) overall *and* on
+    low-texture pixels across m0 in [0.25, 1.0] x t0 in [4, 20], with
+    the chosen (0.5, 8.0) near the optimum (all-bad1 0.090 vs SGM
+    0.209 / CREStereo 0.128 / fixed-0.7 0.125).
+    """
+    mm = margin * margin
+    conf = mm / (mm + float(margin_mid) * float(margin_mid))
+    tt = texture * texture
+    conf = conf * tt / (tt + float(texture_mid) * float(texture_mid))
+    return conf
+
+
+def texture_energy(lf: jnp.ndarray, cap: int, radius: int = 2) -> jnp.ndarray:
+    """Windowed mean |x-sobel| response (sobel units), from the already
+    prefiltered view (:func:`xsobel_clip` output, centered at ``cap``)."""
+    from video3d_tpu.ops.boxsum import box_sum_2d, window_area
+
+    e = jnp.abs(lf - float(cap))
+    h, w = e.shape[-2], e.shape[-1]
+    return box_sum_2d(e, radius) / window_area(h, w, radius)
+
+
 def sgbm_disparity(
     left_gray: jnp.ndarray,
     right_gray: jnp.ndarray,
     params: SGBMParams = SGBMParams(),
     apply_speckle: bool = True,
-) -> jnp.ndarray:
+    return_margin: bool = False,
+):
     """Full semi-global matcher: (B, H, W) grayscale pair -> float disparity.
 
     Equivalent of ``cv2.StereoSGBM.compute(...) / 16.0`` (reference
     depth.py:341): float sub-pixel disparities, invalid = min_disparity - 1.
+
+    ``return_margin`` also returns a per-pixel match confidence in
+    [0, 1] (:func:`match_confidence`: texture-gated uniqueness margin)
+    -- the signal the depth stage's ``blend='confidence'`` guidance
+    mixing uses.
     """
     lf = xsobel_clip(left_gray, params.prefilter_cap)
     rf = xsobel_clip(right_gray, params.prefilter_cap)
@@ -575,7 +647,9 @@ def sgbm_disparity(
                 cost = jnp.round(cost).astype(jnp.int16)
             else:
                 cost = jnp.minimum(cost, BIG).astype(jnp.bfloat16)
-        disp = sgm_wta_pallas_dmajor(cost, params)
+        res = sgm_wta_pallas_dmajor(cost, params,
+                                    return_margin=return_margin)
+        disp, margin = res if return_margin else (res, None)
     else:
         cost = bt_cost_volume(
             lf, rf, params.num_disparities, params.min_disparity
@@ -584,9 +658,15 @@ def sgbm_disparity(
         # keep the border-invalid strip truly invalid after windowed sums
         cost = jnp.minimum(cost, BIG)
         agg = sgm_aggregate(cost, params)
-        disp = wta_disparity(agg, params)
+        res = wta_disparity(agg, params, return_margin=return_margin)
+        disp, margin = res if return_margin else (res, None)
     if apply_speckle and params.speckle_window_size > 0:
         disp = _speckle(disp, params)
+    if return_margin:
+        conf = match_confidence(
+            margin, texture_energy(lf, params.prefilter_cap)
+        )
+        return disp, conf
     return disp
 
 

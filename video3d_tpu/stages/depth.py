@@ -63,6 +63,7 @@ ALGO_VERSION = 2
         "guidance_fn",
         "return_guide",
         "stereo_weight",
+        "blend",
     ),
 )
 def depth_batch_pipeline(
@@ -75,6 +76,7 @@ def depth_batch_pipeline(
     guidance_params=None,
     return_guide: bool = False,
     stereo_weight: float = STEREO_WEIGHT,
+    blend: str = "confidence",
 ) -> jnp.ndarray:
     """uint8 SBS RGB batch (B, H, W, 3) -> uint16 depth batch (B, H, W').
 
@@ -106,7 +108,10 @@ def depth_batch_pipeline(
         )
     gl = rgb_to_gray(left)
     gr = rgb_to_gray(right)
-    disp = sgbm_disparity(gl, gr, params, apply_speckle=apply_speckle)
+    want_margin = guidance_fn is not None and blend == "confidence"
+    res = sgbm_disparity(gl, gr, params, apply_speckle=apply_speckle,
+                         return_margin=want_margin)
+    disp, margin = res if want_margin else (res, None)
 
     if guidance_fn is not None:
         if getattr(guidance_fn, "stereo", False):
@@ -128,11 +133,25 @@ def depth_batch_pipeline(
             mmax = jnp.max(mono, axis=(-2, -1), keepdims=True)
             mono = (mono - mmin) / jnp.maximum(mmax - mmin, 1e-6)
             guide = mono * float(params.num_disparities)
-        # blend contract 0.7/0.3 (reference depth.py:358-363) by default;
-        # stereo_weight=0 hands the frame to the learned backend entirely
-        # (our eval shows pure CREStereo beats the blend on low texture,
-        # README "Stereo quality")
-        disp = stereo_weight * disp + (1.0 - stereo_weight) * guide
+        if blend == "confidence":
+            # confidence-weighted mixing (default): the stereo weight per
+            # pixel is the texture-gated SGM uniqueness margin
+            # (ops.stereo.match_confidence) -- where block matching is
+            # certain (textured surfaces) the geometric stereo answer
+            # dominates; where it starves (low texture, occlusions,
+            # invalidated pixels) the learned backend takes over
+            # entirely. Replaces the reference's fixed 0.7/0.3
+            # (depth.py:358-363), which our eval shows dilutes the
+            # learned backend exactly where it wins (eval_stereo.json:
+            # hybrid-fixed low-tex bad1 0.235 vs pure CREStereo 0.079).
+            # blend='fixed' restores reference parity.
+            conf = jnp.where(disp > float(params.min_disparity) - 0.5,
+                             margin, 0.0)  # invalid stereo -> guidance
+            disp = conf * jnp.maximum(disp, 0.0) + (1.0 - conf) * guide
+        else:
+            # reference blend contract 0.7/0.3 (depth.py:358-363);
+            # stereo_weight=0 hands the frame to the learned backend
+            disp = stereo_weight * disp + (1.0 - stereo_weight) * guide
 
     disp = jnp.maximum(disp, 0.0)  # clamp invalid/negative (depth.py:374)
 
@@ -175,6 +194,7 @@ class StereoDepthExtractor:
         temporal_median: bool = False,
         temporal_smooth: Optional[str] = None,
         stereo_weight: float = STEREO_WEIGHT,
+        blend: str = "confidence",
         params: SGBMParams = SGBMParams(),
     ):
         self.work_dir = create_work_directory(work_dir)
@@ -202,6 +222,9 @@ class StereoDepthExtractor:
         self.temporal_smooth = temporal_smooth
         self.temporal_median = temporal_smooth == "median"
         self.stereo_weight = float(stereo_weight)
+        if blend not in ("confidence", "fixed"):
+            raise ValueError(f"blend must be confidence|fixed: {blend}")
+        self.blend = blend
         self.params = params
         self._guidance_fn: Optional[Callable] = None
         self._guidance_loaded = False
@@ -419,6 +442,10 @@ class StereoDepthExtractor:
             model_key += "+nospeckle"
         if self.stereo_weight != STEREO_WEIGHT:
             model_key += f"+sw={self.stereo_weight:g}"
+        if self.guidance not in ("none", "stereo_only") and \
+                self.blend == "confidence":
+            # never alias round-2 caches computed with the fixed blend
+            model_key += "+blend=conf"
         default_params = SGBMParams()
         if self.params != default_params:
             import dataclasses
@@ -547,6 +574,7 @@ class StereoDepthExtractor:
                     guidance_params=guidance_params,
                     return_guide=want_guide,
                     stereo_weight=self.stereo_weight,
+                    blend=self.blend,
                 )  # async dispatch; do host work before blocking on it
                 if want_guide:
                     depth, guide = depth

@@ -203,6 +203,7 @@ def run_fused_depth_upscale(
                     guidance_params=guidance_params,
                     return_guide=want_guide,
                     stereo_weight=extractor.stereo_weight,
+                    blend=getattr(extractor, "blend", "confidence"),
                 )
                 if want_guide:
                     depth, motion_guide = depth

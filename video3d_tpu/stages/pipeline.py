@@ -55,6 +55,7 @@ def run_pipeline(
     temporal_smooth: Optional[str] = None,
     auto_range: bool = False,
     guidance_weight: float = 0.7,
+    blend: str = "confidence",
     fused: bool = False,
     cache_depth: bool = False,
 ) -> Dict:
@@ -125,6 +126,7 @@ def run_pipeline(
         extractor = StereoDepthExtractor(
             work_dir=str(work), guidance=guidance, batch_size=batch_size,
             temporal_smooth=temporal_smooth, stereo_weight=guidance_weight,
+            blend=blend,
         )
         if auto_range:
             extractor.apply_auto_range(
@@ -166,6 +168,7 @@ def run_pipeline(
         extractor = StereoDepthExtractor(
             work_dir=str(work), guidance=guidance, batch_size=batch_size,
             temporal_smooth=temporal_smooth, stereo_weight=guidance_weight,
+            blend=blend,
         )
         if auto_range:
             extractor.apply_auto_range(
