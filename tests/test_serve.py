@@ -14,12 +14,16 @@ from tests.test_depth_stage import make_sbs_video
 from video3d_tpu.cli.serve import _client
 
 
-@pytest.fixture
-def server(tmp_path):
+def _launch_server(tmp_path, n_devices=1, extra_args=()):
     sock = str(tmp_path / "srv.sock")
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
-    env.pop("XLA_FLAGS", None)
+    if n_devices > 1:
+        env["XLA_FLAGS"] = (
+            f"--xla_force_host_platform_device_count={n_devices}"
+        )
+    else:
+        env.pop("XLA_FLAGS", None)
     repo = str(Path(__file__).resolve().parents[1])
     env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
     # jax.config call, not env: the host sitecustomize may pin the
@@ -32,7 +36,7 @@ def server(tmp_path):
     proc = subprocess.Popen(
         [sys.executable, "-c", boot,
          "--socket", sock, "--work-dir", str(tmp_path / "w"),
-         "--no-unsqueeze", "--batch-size", "2"],
+         "--no-unsqueeze", "--batch-size", "2", *extra_args],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
     # wait for the socket
@@ -45,13 +49,23 @@ def server(tmp_path):
     else:
         proc.kill()
         raise RuntimeError("server socket never appeared")
-    yield sock
+    return sock, proc
+
+
+def _stop_server(sock, proc):
     if proc.poll() is None:
         try:
             _client(sock, {"cmd": "shutdown"})
         except Exception:
             proc.kill()
         proc.wait(timeout=30)
+
+
+@pytest.fixture
+def server(tmp_path):
+    sock, proc = _launch_server(tmp_path)
+    yield sock
+    _stop_server(sock, proc)
 
 
 def test_serve_ping_job_error_shutdown(server, tmp_path):
@@ -91,3 +105,47 @@ def test_serve_ping_job_error_shutdown(server, tmp_path):
         {"video": str(video), "max_frames": 4, "temporal_smooth": "bogus"},
     )
     assert not badts["ok"] and "temporal_smooth" in badts["error"]
+
+
+def test_serve_multichip_fanout(tmp_path):
+    """One job sharded across a virtual 8-device mesh: the serve device
+    pool fans the frame range out chip-per-slice into one shared cache,
+    bit-identical to a single-device run (VERDICT r2 item 9)."""
+    sock, proc = _launch_server(tmp_path, n_devices=8)
+    try:
+        st = _client(sock, {"cmd": "status"})
+        assert st["ok"] and st["devices_total"] == 8
+        assert st["devices_free"] == 8
+
+        video = tmp_path / "sbs.mp4"
+        make_sbs_video(video, n_frames=16, shift=4)
+        resp = _client(sock, {"video": str(video), "max_frames": 16})
+        assert resp["ok"], resp
+        assert resp["frames"] == 16
+        assert resp["devices_used"] == 8
+        fan_dir = Path(resp["cache_dir"])
+        assert sorted(p.name for p in fan_dir.glob("depth_*.png")) == [
+            f"depth_{i:06d}.png" for i in range(16)
+        ]
+
+        # all devices back in the pool after the job
+        st = _client(sock, {"cmd": "status"})
+        assert st["devices_free"] == 8
+
+        # single-device run of the same job -> bit-identical frames
+        resp1 = _client(
+            sock, {"video": str(video), "max_frames": 16, "devices": 1}
+        )
+        assert resp1["ok"] and resp1["devices_used"] == 1
+        one_dir = Path(resp1["cache_dir"])
+        assert one_dir != fan_dir  # separate cache-key spaces
+        for i in range(16):
+            a = (fan_dir / f"depth_{i:06d}.png").read_bytes()
+            b = (one_dir / f"depth_{i:06d}.png").read_bytes()
+            assert a == b, f"frame {i} differs between fanout and single"
+
+        # resubmit hits the shared fanout cache
+        resp2 = _client(sock, {"video": str(video), "max_frames": 16})
+        assert resp2["ok"] and resp2["cache_dir"] == str(fan_dir)
+    finally:
+        _stop_server(sock, proc)

@@ -7,17 +7,27 @@ jobs submitted over a UNIX socket, line-delimited JSON:
 
     request:  {"video": "...", "max_frames": 100, "start_frame": 0,
                "force": false, "work_dir": "...",
-               "temporal_smooth": "none|median|flow"}
-              (work_dir / temporal_smooth optional; a job's first use of
-              a new temporal_smooth value compiles that variant once,
-              then it stays hot)
+               "temporal_smooth": "none|median|flow", "devices": K}
+              (work_dir / temporal_smooth / devices optional; a job's
+              first use of a new temporal_smooth value compiles that
+              variant once, then it stays hot)
     response: {"ok": true, "cache_dir": "...", "frames": N,
-               "seconds": S}  |  {"ok": false, "error": "..."}
+               "seconds": S, "devices_used": K}
+              |  {"ok": false, "error": "..."}
+
+Multi-chip serving: the server owns a pool of all visible devices. Each
+job acquires up to ``--fanout`` free chips (at least one, waiting if the
+pool is empty) and fans its frame range out across them -- contiguous
+per-chip slices with halo-correct seams into one shared cache
+(StereoDepthExtractor.process_video_sbs_fanout). Requests are handled
+on threads, so small jobs run concurrently on different chips while
+``ping``/``status`` stay responsive; jobs queue on the device pool when
+the pod is busy.
 
 Also usable as a client: ``video-3d-serve --submit job.json`` (or
 ``--submit -`` reading JSON from stdin) sends one request and prints the
-response. ``{"cmd": "ping"}`` health-checks; ``{"cmd": "shutdown"}``
-stops the server.
+response. ``{"cmd": "ping"}`` health-checks; ``{"cmd": "status"}``
+reports pool occupancy; ``{"cmd": "shutdown"}`` stops the server.
 
 The reference has no serving story (single-shot scripts); this is the
 runtime component a deployment needs around the TPU compute path.
@@ -26,7 +36,9 @@ runtime component a deployment needs around the TPU compute path.
 from __future__ import annotations
 
 import argparse
+import copy
 import json
+import queue
 import socket
 import socketserver
 import sys
@@ -38,7 +50,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="video-3d-serve",
         description="Serve depth extraction over a UNIX socket "
-        "(compile once, process many)",
+        "(compile once, process many; jobs fan out over the device pool)",
     )
     p.add_argument("--socket", default="/tmp/video3d_tpu.sock")
     p.add_argument("--work-dir", default="temp_depth_server",
@@ -55,6 +67,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--blend", default="confidence",
                    choices=("confidence", "fixed"),
                    help="Guidance mixing mode (see video-3d-depth --blend)")
+    p.add_argument("--fanout", type=int, default=None,
+                   help="Max devices one job may fan out over (default: "
+                        "all visible devices; jobs can lower it per-"
+                        "request with 'devices')")
     p.add_argument("--submit", default=None, metavar="JOB_JSON",
                    help="Client mode: send one request (a JSON file, an "
                    "inline JSON string, or '-' for stdin) and exit")
@@ -74,6 +90,38 @@ def _client(sock_path: str, payload: dict) -> dict:
     return json.loads(buf.decode())
 
 
+class DevicePool:
+    """Pool of jax devices jobs draw from.
+
+    ``acquire(k)`` blocks for one device, then opportunistically grabs
+    up to k-1 more without waiting -- a lone small job gets the whole
+    pod, concurrent jobs split it, and arrivals during a busy period
+    queue on the blocking get.
+    """
+
+    def __init__(self, devices):
+        self._q: "queue.Queue" = queue.Queue()
+        for d in devices:
+            self._q.put(d)
+        self.total = len(devices)
+
+    def acquire(self, k: int):
+        devs = [self._q.get()]
+        while len(devs) < k:
+            try:
+                devs.append(self._q.get_nowait())
+            except queue.Empty:
+                break
+        return devs
+
+    def release(self, devs) -> None:
+        for d in devs:
+            self._q.put(d)
+
+    def free(self) -> int:
+        return self._q.qsize()
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -87,6 +135,8 @@ def main(argv=None) -> int:
         print(json.dumps(resp))
         return 0 if resp.get("ok") else 1
 
+    import jax
+
     from video3d_tpu.stages.depth import StereoDepthExtractor
 
     extractor = StereoDepthExtractor(
@@ -98,6 +148,12 @@ def main(argv=None) -> int:
         temporal_smooth=args.temporal_smooth,
         blend=args.blend,
     )
+    # resolve guidance once at boot; per-job shallow copies share the
+    # loaded model (and the process-wide jit cache)
+    extractor.load_model()
+
+    pool = DevicePool(jax.devices())
+    fanout_cap = args.fanout if args.fanout else pool.total
 
     sock_path = Path(args.socket)
     if sock_path.exists():
@@ -116,48 +172,59 @@ def main(argv=None) -> int:
             if req.get("cmd") == "ping":
                 self._reply({"ok": True, "pong": True})
                 return
+            if req.get("cmd") == "status":
+                self._reply({
+                    "ok": True,
+                    "devices_total": pool.total,
+                    "devices_free": pool.free(),
+                    "fanout": fanout_cap,
+                })
+                return
             if req.get("cmd") == "shutdown":
                 self._reply({"ok": True, "stopping": True})
                 self.server._shutdown_requested = True
                 return
             try:
                 t0 = time.time()
-                # Validate the whole request BEFORE touching extractor
-                # state: a bad field must not leave a half-applied
-                # override behind for later jobs (the server keeps
-                # serving after errors).
+                # Validate the whole request BEFORE any state is touched.
                 ts = req.get("temporal_smooth")
                 if ts is not None and ts not in ("none", "median", "flow"):
                     raise ValueError(f"bad temporal_smooth: {ts}")
                 if "video" not in req:
                     raise ValueError("request missing 'video'")
-                # a per-job override must not leak into later jobs that
-                # omit it -- restore the server default after
-                default_work_dir = extractor.work_dir
-                default_smooth = extractor.temporal_smooth
-                try:
+                want = int(req.get("devices", fanout_cap))
+                if want < 1:
+                    raise ValueError(f"bad devices: {want}")
+                # per-job options go on a shallow copy -- concurrent jobs
+                # must not see each other's overrides (the server object
+                # itself is never mutated after boot)
+                job_ex = extractor
+                if req.get("work_dir") or ts is not None:
+                    job_ex = copy.copy(extractor)
                     if req.get("work_dir"):
-                        extractor.work_dir = Path(req["work_dir"])
-                        extractor.work_dir.mkdir(parents=True, exist_ok=True)
+                        job_ex.work_dir = Path(req["work_dir"])
+                        job_ex.work_dir.mkdir(parents=True, exist_ok=True)
                     if ts is not None:
-                        extractor.temporal_smooth = ts
-                        extractor.temporal_median = ts == "median"
-                    cache = extractor.process_video_sbs(
+                        job_ex.temporal_smooth = ts
+                        job_ex.temporal_median = ts == "median"
+                devs = pool.acquire(min(want, fanout_cap))
+                try:
+                    cache = job_ex.process_video_sbs_fanout(
                         req["video"],
+                        devs,
                         start_frame=int(req.get("start_frame", 0)),
                         max_frames=req.get("max_frames"),
                         force=bool(req.get("force", False)),
                     )
                 finally:
-                    extractor.work_dir = default_work_dir
-                    extractor.temporal_smooth = default_smooth
-                    extractor.temporal_median = default_smooth == "median"
+                    pool.release(devs)
                 n = len(list(Path(cache).glob("depth_*.png")))
                 self._reply({
                     "ok": True,
                     "cache_dir": str(cache),
                     "frames": n,
                     "seconds": round(time.time() - t0, 3),
+                    "devices_used": len(devs),
                 })
             except Exception as e:  # report, keep serving
                 self._reply({"ok": False, "error": f"{type(e).__name__}: {e}"})
@@ -165,7 +232,8 @@ def main(argv=None) -> int:
         def _reply(self, obj):
             self.wfile.write((json.dumps(obj) + "\n").encode())
 
-    class Server(socketserver.UnixStreamServer):
+    class Server(socketserver.ThreadingMixIn, socketserver.UnixStreamServer):
+        daemon_threads = True
         _shutdown_requested = False
 
         def service_actions(self):
@@ -173,7 +241,8 @@ def main(argv=None) -> int:
                 raise KeyboardInterrupt
 
     print(f"video3d_tpu depth server on {sock_path} "
-          f"(guidance={args.guidance}); jobs are line-delimited JSON")
+          f"(guidance={args.guidance}, devices={pool.total}, "
+          f"fanout<={fanout_cap}); jobs are line-delimited JSON")
     with Server(str(sock_path), Handler) as srv:
         try:
             srv.serve_forever(poll_interval=0.2)

@@ -133,7 +133,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Data-parallel training over all visible devices "
                         "(batch sharded on a frames mesh, params/optimizer "
                         "replicated; gradients reduce over ICI). "
-                        "batch-size must divide the device count.")
+                        "batch size must be divisible by the device count.")
     return p
 
 

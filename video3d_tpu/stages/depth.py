@@ -297,6 +297,115 @@ class StereoDepthExtractor:
 
     # -- main entry ---------------------------------------------------------
 
+    def _slice_halos(self, lo: int, hi: int, job_lo: int,
+                     job_hi: int) -> tuple:
+        """Decode halos for the sub-range [lo, hi) of a job [job_lo, job_hi).
+
+        Temporal smoothers need context frames at interior seams so sliced
+        runs match an unsliced one: median-of-3 needs one frame each side
+        (bit-exact); the causal flow EMA needs a 24-frame left warm-up
+        (error bound 0.65**24 of full scale, ~2 uint16 counts --
+        documented approximation). Halo frames are computed but not
+        written (``write_range``).
+        """
+        if self.temporal_median:
+            h_l, h_r = 1, 1
+        elif self.temporal_smooth == "flow":
+            h_l, h_r = 24, 0
+        else:
+            h_l, h_r = 0, 0
+        halo_lo = min(h_l, lo - job_lo)
+        halo_hi = h_r if hi < job_hi else 0
+        return halo_lo, halo_hi
+
+    def process_video_sbs_fanout(
+        self,
+        video_path: str,
+        devices,
+        start_frame: int = 0,
+        max_frames: Optional[int] = None,
+        force: bool = False,
+    ) -> Path:
+        """One job fanned out over local devices (serve's multi-chip path).
+
+        Splits [start_frame, start_frame + n) into one contiguous range
+        per device and runs the single-chip streaming pipeline on each in
+        its own thread, pinned via ``jax.default_device`` (thread-local),
+        all writing globally-numbered frames into one shared cache with
+        halo-correct seams -- the in-process analogue of the multi-host
+        frame partitioning (:meth:`process_video_sbs_sharded`), so the
+        two paths share the ``+multihost`` cache-key space.
+
+        Reference has no serving/fan-out story (single-shot scripts,
+        depth.py:433-449); this is the pod-scale serving component.
+        """
+        import threading
+
+        info = get_video_info(str(video_path))
+        if info is None:
+            raise RuntimeError(f"Cannot probe video: {video_path}")
+        n_total = info["frames"] - start_frame if info["frames"] else None
+        n = (
+            min(n_total, max_frames)
+            if (n_total is not None and max_frames is not None)
+            else (max_frames if max_frames is not None else n_total)
+        )
+        k = max(1, min(len(devices), n if n is not None else 1))
+        if k == 1 or n is None:
+            # unknown stream length cannot be pre-partitioned
+            with jax.default_device(devices[0]):
+                return self.process_video_sbs(
+                    video_path, start_frame=start_frame,
+                    max_frames=max_frames, force=force,
+                )
+        cache = depth_cache_dir(
+            self.work_dir, str(video_path), start_frame, n,
+            self._model_key() + "+multihost", self.unsqueeze_anamorphic,
+        )
+        from video3d_tpu.core.cache import is_depth_cached_range
+
+        if not force and is_depth_cached_range(cache, start_frame, n):
+            print(f"Using cached depth maps: {cache}")
+            return cache
+        self.load_model()  # once, before the per-device threads
+
+        job_lo, job_hi = start_frame, start_frame + n
+        errors = []
+
+        def run_slice(i: int, dev) -> None:
+            lo = job_lo + (i * n) // k
+            hi = job_lo + ((i + 1) * n) // k
+            halo_lo, halo_hi = self._slice_halos(lo, hi, job_lo, job_hi)
+            try:
+                with jax.default_device(dev):
+                    self.process_video_sbs(
+                        video_path,
+                        start_frame=lo - halo_lo,
+                        max_frames=(hi - lo) + halo_lo + halo_hi,
+                        force=force,
+                        cache_dir=cache,
+                        index_offset=lo - halo_lo,
+                        write_range=(lo, hi),
+                    )
+            except Exception as e:  # noqa: BLE001 -- reported by joiner
+                errors.append((i, e))
+
+        threads = [
+            threading.Thread(target=run_slice, args=(i, d), daemon=True)
+            for i, d in enumerate(devices[:k])
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errors:
+            i, e = errors[0]
+            raise RuntimeError(
+                f"fan-out slice {i}/{k} failed ({len(errors)} of {k} "
+                f"slices errored): {type(e).__name__}: {e}"
+            ) from e
+        return cache
+
     def process_video_sbs_sharded(
         self,
         video_path: str,
@@ -320,21 +429,7 @@ class StereoDepthExtractor:
             self.work_dir, str(video_path), 0, n,
             self._model_key() + "+multihost", self.unsqueeze_anamorphic,
         )
-        # temporal median clamps at its range boundary; decode one halo
-        # frame past each host seam (dropped from the written output) so
-        # seam frames are bit-identical to a single-host run. The flow
-        # EMA is a causal IIR, so only a LEFT warm-up halo is needed;
-        # with alpha_min=0.35, 24 warm-up frames bound the seam error by
-        # 0.65^24 ~= 3e-5 of full scale (~2 uint16 counts) — documented
-        # approximation, not bit-exact like the median.
-        if self.temporal_median:
-            halo, halo_r = 1, 1
-        elif self.temporal_smooth == "flow":
-            halo, halo_r = 24, 0
-        else:
-            halo, halo_r = 0, 0
-        halo_lo = min(halo, start) if start > 0 else 0
-        halo_hi = halo_r if start + count < n else 0
+        halo_lo, halo_hi = self._slice_halos(start, start + count, 0, n)
         print(
             f"Host {__import__('jax').process_index()}: frames "
             f"[{start}, {start + count}) of {n} -> {cache}"
