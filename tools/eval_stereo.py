@@ -41,6 +41,87 @@ def low_texture_mask(left_gray: np.ndarray, radius: int = 5,
     return mean < thresh
 
 
+def ood_batch(rng: np.random.Generator, batch: int, h: int, w: int,
+              max_disp: int):
+    """Out-of-distribution eval scenes: DISJOINT from the training
+    generator (train_crestereo.synthetic_batch) in both texture and
+    geometry statistics.
+
+    Textures are gratings / checkerboards / flat cartoon rectangles /
+    blocky nearest-zoom noise / ramps-with-dots -- none of which the
+    Gaussian-smoothed-noise training distribution contains. Disparity is
+    PIECEWISE-PLANAR: a slanted background plane plus 2-4 foreground
+    rectangles at distinct slanted planes, with sharp discontinuities
+    (training fields are C1-smooth spline warps). Ground truth stays
+    exact: right eye is a crisp crop of the scene, left eye is sampled
+    at x - d(y,x) + max_disp, so left pixel x matches right pixel x - d
+    for ANY field d, discontinuous included.
+    """
+    import scipy.ndimage as ndi
+
+    ws = w + max_disp
+    yy, xx = np.mgrid[0:h, 0:ws].astype(np.float32)
+
+    def texture(kind):
+        if kind == 0:  # sinusoidal grating, random angle/frequency
+            f = rng.uniform(0.02, 0.15)
+            th = rng.uniform(0, np.pi)
+            ph = rng.uniform(0, 2 * np.pi)
+            g = np.sin(2 * np.pi * f * (np.cos(th) * xx + np.sin(th) * yy) + ph)
+            return (127.5 + rng.uniform(60, 120) / 2 * g).astype(np.float32)
+        if kind == 1:  # checkerboard + mild noise
+            c = int(rng.integers(4, 17))
+            g = (((yy // c) + (xx // c)) % 2) * rng.uniform(90, 180) + 40
+            return (g + rng.normal(0, 4, g.shape)).astype(np.float32)
+        if kind == 2:  # flat cartoon rectangles (zero interior texture)
+            g = np.full((h, ws), float(rng.uniform(60, 190)), np.float32)
+            for _ in range(int(rng.integers(8, 20))):
+                ph_, pw_ = int(rng.integers(h // 8, h // 2)), int(
+                    rng.integers(ws // 10, ws // 3))
+                y0 = int(rng.integers(0, h - ph_))
+                x0 = int(rng.integers(0, ws - pw_))
+                g[y0:y0 + ph_, x0:x0 + pw_] = float(rng.uniform(20, 235))
+            return g
+        if kind == 3:  # blocky nearest-neighbour zoom noise
+            c = int(rng.integers(3, 9))
+            coarse = rng.uniform(20, 235, (h // c + 1, ws // c + 1))
+            return ndi.zoom(coarse, c, order=0)[:h, :ws].astype(np.float32)
+        # ramp + speckle dots
+        g = (xx / ws * rng.uniform(120, 200) + rng.uniform(20, 60))
+        n_dots = int(rng.integers(40, 160))
+        ys = rng.integers(0, h, n_dots)
+        xs = rng.integers(0, ws, n_dots)
+        g[ys, xs] = rng.uniform(0, 255, n_dots)
+        return g.astype(np.float32)
+
+    def plane(lo, hi):
+        a = rng.uniform(lo, hi)
+        by = rng.uniform(-1.0, 1.0) * (hi - lo) / 2
+        bx = rng.uniform(-1.0, 1.0) * (hi - lo) / 2
+        return a + by * (yy[:, :w] / h - 0.5) + bx * (xx[:, :w] / w - 0.5)
+
+    lefts, rights, gts = [], [], []
+    for _ in range(batch):
+        base = texture(int(rng.integers(0, 5)))
+        d = plane(1.5, max(3.0, max_disp * 0.35))
+        for _ in range(int(rng.integers(2, 5))):  # foreground slabs
+            ph_, pw_ = int(rng.integers(h // 5, h // 2)), int(
+                rng.integers(w // 6, w // 2))
+            y0 = int(rng.integers(0, h - ph_))
+            x0 = int(rng.integers(0, w - pw_))
+            fg = plane(max_disp * 0.45, max_disp - 1.0)
+            d[y0:y0 + ph_, x0:x0 + pw_] = fg[y0:y0 + ph_, x0:x0 + pw_]
+        d = np.clip(d, 1.0, max_disp - 1.0).astype(np.float32)
+        left = ndi.map_coordinates(
+            base, [yy[:, :w], xx[:, :w] - d + max_disp], order=1,
+            mode="nearest")
+        lefts.append(left.astype(np.float32))
+        rights.append(base[:, max_disp:])
+        gts.append(d)
+    rgb = lambda g: np.repeat(np.stack(g)[..., None], 3, axis=-1)
+    return rgb(lefts), rgb(rights), np.stack(gts)
+
+
 def metrics(pred: np.ndarray, gt: np.ndarray, invalid: float,
             mask: np.ndarray = None) -> dict:
     sel = np.ones(gt.shape, bool) if mask is None else mask
@@ -58,49 +139,23 @@ def metrics(pred: np.ndarray, gt: np.ndarray, invalid: float,
     }
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--ckpt", default=None,
-                    help="CREStereo orbax checkpoint dir (skipped if absent)")
-    ap.add_argument("--scenes", type=int, default=16)
-    ap.add_argument("--h", type=int, default=128)
-    ap.add_argument("--w", type=int, default=256)
-    ap.add_argument("--max-disparity", type=int, default=32)
-    ap.add_argument("--seed", type=int, default=12345)  # held out from training
-    ap.add_argument("--out", default="eval_stereo.json")
-    ap.add_argument("--cv2", action="store_true",
-                    help="Also evaluate OpenCV StereoSGBM")
-    args = ap.parse_args()
-
+def compute_preds(left, right, args, params, cre_fn):
+    """All methods' disparity predictions for one eval set."""
     import jax.numpy as jnp
 
-    from video3d_tpu.cli.train_crestereo import synthetic_batch
     from video3d_tpu.ops.image import rgb_to_gray
-    from video3d_tpu.ops.stereo import SGBMParams, sgbm_disparity
+    from video3d_tpu.ops.stereo import sgbm_disparity
 
-    rng = np.random.default_rng(args.seed)
-    left, right, gt, _ = synthetic_batch(
-        rng, args.scenes, args.h, args.w, args.max_disparity
-    )
-    gl = np.asarray(rgb_to_gray(jnp.asarray(left)))
-    lowtex = low_texture_mask(gl)
-    print(f"eval set: {args.scenes} scenes {args.h}x{args.w}, "
-          f"low-texture fraction {lowtex.mean():.2f}")
-
-    params = SGBMParams(num_disparities=args.max_disparity)
     invalid = float(params.min_disparity - 1)
-    preds = {}
-
+    gl = np.asarray(rgb_to_gray(jnp.asarray(left)))
     gr = rgb_to_gray(jnp.asarray(right))
+    preds = {}
     sgm_j, conf_j = sgbm_disparity(
         jnp.asarray(gl), gr, params, apply_speckle=True, return_margin=True
     )
     preds["sgm"] = np.asarray(sgm_j)
 
-    if args.ckpt and os.path.isdir(args.ckpt):
-        from video3d_tpu.models.crestereo import load_crestereo_guidance
-
-        cre_fn = load_crestereo_guidance(os.path.abspath(args.ckpt))
+    if cre_fn is not None:
         cre = np.asarray(cre_fn(jnp.asarray(left), jnp.asarray(right)))
         preds["crestereo"] = cre
         sgm = preds["sgm"]
@@ -113,8 +168,6 @@ def main() -> None:
         # blend='confidence' -- texture-gated uniqueness margin)
         conf = np.where(sgm != invalid, np.asarray(conf_j), 0.0)
         preds["hybrid_conf"] = conf * np.maximum(sgm, 0.0) + (1 - conf) * cre
-    else:
-        print("no CREStereo checkpoint -- evaluating SGM only")
 
     if args.cv2:
         try:
@@ -130,7 +183,7 @@ def main() -> None:
                 speckleRange=params.speckle_range,
             )
             outs = []
-            for i in range(args.scenes):
+            for i in range(left.shape[0]):
                 d = matcher.compute(
                     gl[i].astype(np.uint8), np.asarray(gr)[i].astype(np.uint8)
                 ).astype(np.float32) / 16.0
@@ -138,30 +191,149 @@ def main() -> None:
             preds["cv2_sgbm"] = np.stack(outs)
         except Exception as e:
             print(f"cv2 eval skipped: {e}")
+    return preds, gl
 
+
+def evaluate_set(name, left, right, gt, args, params, cre_fn):
+    invalid = float(params.min_disparity - 1)
+    preds, gl = compute_preds(left, right, args, params, cre_fn)
+    lowtex = low_texture_mask(gl)
+    print(f"\n[{name}] {left.shape[0]} scenes "
+          f"{left.shape[1]}x{left.shape[2]}, "
+          f"low-texture fraction {lowtex.mean():.2f}")
     table = {}
-    for name, pred in preds.items():
-        table[name] = {
+    for mname, pred in preds.items():
+        table[mname] = {
             "all": metrics(pred, gt, invalid),
             "low_texture": metrics(pred, gt, invalid, lowtex),
         }
-
-    print(f"\n{'method':>10} | {'EPE':>6} {'bad1':>7} {'bad3':>7} {'cov':>6}"
+    print(f"{'method':>12} | {'EPE':>6} {'bad1':>7} {'bad3':>7} {'cov':>6}"
           f" | low-tex: {'EPE':>6} {'bad1':>7} {'bad3':>7}")
-    for name, m in table.items():
+    for mname, m in table.items():
         a, lt = m["all"], m["low_texture"]
-        print(f"{name:>10} | {a['epe']:6.2f} {a['bad1']:7.3f} "
+        print(f"{mname:>12} | {a['epe']:6.2f} {a['bad1']:7.3f} "
               f"{a['bad3']:7.3f} {a['coverage']:6.2f} |          "
               f"{lt['epe']:6.2f} {lt['bad1']:7.3f} {lt['bad3']:7.3f}")
+    return table, float(lowtex.mean())
 
+
+def lr_consistency_clip(args, params, cre_fn):
+    """Pseudo-scored eval on a held-out rendered parallax clip (no GT):
+    left-right consistency per method plus cross-method agreement with
+    cv2.
+
+    LR consistency: predict d_L on (L, R) and d_R on the mirrored pair
+    (flip R, flip L) -- the same matcher predicts the right eye's
+    disparity -- then check |d_L(x) - d_R(x - d_L(x))| <= 1 wherever both
+    are valid. A matcher that hallucinates on real-structured content
+    fails its own round trip, no ground truth needed.
+    """
+    import jax.numpy as jnp
+
+    from video3d_tpu.ops.image import rgb_to_gray
+
+    rng = np.random.default_rng(args.seed + 999)
+    # held-out "footage": layered parallax scenes from the OOD texture
+    # families, rendered per frame with moving foreground slabs
+    left, right, _ = ood_batch(rng, args.clip_frames, args.h, args.w,
+                               args.max_disparity)
+    preds_l, _ = compute_preds(left, right, args, params, cre_fn)
+    # mirrored pair: flip x AND swap eyes -> matcher sees the right eye
+    # as a "left" image with the same positive-disparity convention
+    left_m = right[:, :, ::-1].copy()
+    right_m = left[:, :, ::-1].copy()
+    preds_r, _ = compute_preds(left_m, right_m, args, params, cre_fn)
+
+    invalid = float(params.min_disparity - 1)
+    h, w = left.shape[1], left.shape[2]
+    xs = np.arange(w)[None, None, :]
+    out = {}
+    for mname, d_l in preds_l.items():
+        d_r = preds_r[mname][:, :, ::-1]  # back to right-eye coords
+        xi = np.clip(np.round(xs - np.maximum(d_l, 0.0)).astype(int), 0, w - 1)
+        d_r_at = np.take_along_axis(d_r, xi, axis=2)
+        valid = (d_l != invalid) & (d_r_at != invalid) & \
+            (xs - np.maximum(d_l, 0.0) >= 0)
+        err = np.abs(d_l - d_r_at)
+        lr_bad1 = float(((err > 1.0) & valid).sum()) / max(valid.sum(), 1)
+        row = {
+            "lr_bad1": round(lr_bad1, 4),
+            "coverage": round(float((d_l != invalid).mean()), 4),
+        }
+        if "cv2_sgbm" in preds_l and mname != "cv2_sgbm":
+            cv = preds_l["cv2_sgbm"]
+            both = (d_l != invalid) & (cv != invalid)
+            agree = float(((np.abs(d_l - cv) <= 1.0) & both).sum()) / max(
+                both.sum(), 1)
+            row["cv2_agree1"] = round(agree, 4)
+        out[mname] = row
+    print(f"\n[clip] {args.clip_frames} held-out parallax frames "
+          f"(no GT; LR round-trip + cv2 cross-check)")
+    for mname, row in out.items():
+        print(f"{mname:>12} | lr_bad1 {row['lr_bad1']:.3f} "
+              f"cov {row['coverage']:.3f}"
+              + (f" cv2_agree1 {row['cv2_agree1']:.3f}"
+                 if "cv2_agree1" in row else ""))
+    return out
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", default=None,
+                    help="CREStereo orbax checkpoint dir (skipped if absent)")
+    ap.add_argument("--scenes", type=int, default=16)
+    ap.add_argument("--h", type=int, default=128)
+    ap.add_argument("--w", type=int, default=256)
+    ap.add_argument("--max-disparity", type=int, default=32)
+    ap.add_argument("--seed", type=int, default=12345)  # held out from training
+    ap.add_argument("--out", default="eval_stereo.json")
+    ap.add_argument("--cv2", action="store_true",
+                    help="Also evaluate OpenCV StereoSGBM")
+    ap.add_argument("--no-ood", action="store_true",
+                    help="Skip the out-of-distribution set")
+    ap.add_argument("--no-clip", action="store_true",
+                    help="Skip the LR-consistency clip score")
+    ap.add_argument("--clip-frames", type=int, default=8)
+    args = ap.parse_args()
+
+    from video3d_tpu.cli.train_crestereo import synthetic_batch
+    from video3d_tpu.ops.stereo import SGBMParams
+
+    params = SGBMParams(num_disparities=args.max_disparity)
+    cre_fn = None
+    if args.ckpt and os.path.isdir(args.ckpt):
+        from video3d_tpu.models.crestereo import load_crestereo_guidance
+
+        cre_fn = load_crestereo_guidance(os.path.abspath(args.ckpt))
+    else:
+        print("no CREStereo checkpoint -- evaluating SGM only")
+
+    rng = np.random.default_rng(args.seed)
+    left, right, gt, _ = synthetic_batch(
+        rng, args.scenes, args.h, args.w, args.max_disparity
+    )
+    table, ltf = evaluate_set("in-dist", left, right, gt, args, params,
+                              cre_fn)
     result = {
         "config": {
             "scenes": args.scenes, "h": args.h, "w": args.w,
             "max_disparity": args.max_disparity, "seed": args.seed,
-            "low_texture_fraction": round(float(lowtex.mean()), 3),
+            "low_texture_fraction": ltf,
         },
         "metrics": table,
     }
+    if not args.no_ood:
+        rng_o = np.random.default_rng(args.seed + 1)
+        lo, ro, go = ood_batch(rng_o, args.scenes, args.h, args.w,
+                               args.max_disparity)
+        ood_table, ood_ltf = evaluate_set("OOD", lo, ro, go, args, params,
+                                          cre_fn)
+        result["ood_metrics"] = ood_table
+        result["ood_low_texture_fraction"] = ood_ltf
+    if not args.no_clip:
+        result["clip_lr_consistency"] = lr_consistency_clip(args, params,
+                                                            cre_fn)
+
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
     print(f"\nwrote {args.out}")

@@ -80,6 +80,120 @@ def synthetic_batch(rng: np.random.Generator, batch: int, h: int, w: int,
     return rgb(lefts), rgb(rights), np.stack(gts), np.ones((batch, h, w), np.float32)
 
 
+def synthetic_batch_v2(rng: np.random.Generator, batch: int, h: int,
+                       w: int, max_shift: int):
+    """Diversified synthetic curriculum (round-3 recipe).
+
+    The v1 generator (:func:`synthetic_batch`) draws every scene from one
+    family -- Gaussian-smoothed noise with a C1-smooth disparity field --
+    and the OOD eval (tools/eval_stereo.py) showed a checkpoint trained
+    on it collapses on anything structurally different. v2 samples each
+    scene from a texture family in {smooth noise, multi-octave noise,
+    noisy gratings, textured patchwork, ramp+blobs} and a geometry in
+    {smooth spline field, piecewise-planar slabs with sharp
+    discontinuities}. Checkerboards, flat cartoon rectangles and
+    nearest-zoom block textures remain EVAL-ONLY families so the OOD
+    eval still measures generalization, not memorization.
+    """
+    import scipy.ndimage as ndi
+
+    ws = w + max_shift
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+
+    def norm255(g):
+        return ((g - g.min()) / (np.ptp(g) + 1e-6) * 255).astype(np.float32)
+
+    def tex_smooth():
+        g = rng.uniform(0, 255, (h, ws)).astype(np.float32)
+        return norm255(ndi.gaussian_filter(g, rng.uniform(1.0, 2.5)))
+
+    def tex_octaves():
+        g = np.zeros((h, ws), np.float32)
+        for cell, amp in ((64, 1.0), (16, 0.5), (4, 0.25)):
+            coarse = rng.uniform(-1, 1, (h // cell + 2, ws // cell + 2))
+            g += amp * ndi.zoom(coarse, cell, order=3)[:h, :ws]
+        return norm255(g)
+
+    def tex_grating():
+        gy, gx = np.mgrid[0:h, 0:ws].astype(np.float32)
+        f = rng.uniform(0.02, 0.12)
+        th = rng.uniform(0, np.pi)
+        g = np.sin(2 * np.pi * f * (np.cos(th) * gx + np.sin(th) * gy))
+        n = ndi.gaussian_filter(
+            rng.uniform(-1, 1, (h, ws)).astype(np.float32), 1.5)
+        return norm255(g + rng.uniform(0.2, 0.6) * n)
+
+    def tex_patchwork():
+        g = tex_octaves()
+        for _ in range(int(rng.integers(5, 12))):
+            ph = int(rng.integers(h // 8, h // 2))
+            pw = int(rng.integers(ws // 10, ws // 3))
+            y0 = int(rng.integers(0, h - ph))
+            x0 = int(rng.integers(0, ws - pw))
+            patch = (tex_smooth() if rng.random() < 0.5 else tex_grating())
+            g[y0:y0 + ph, x0:x0 + pw] = patch[y0:y0 + ph, x0:x0 + pw]
+        return g
+
+    def tex_blobs():
+        gy, gx = np.mgrid[0:h, 0:ws].astype(np.float32)
+        g = gx / ws * rng.uniform(100, 200)
+        coarse = rng.uniform(0, 1, (h // 16 + 2, ws // 16 + 2))
+        coarse = (coarse > 0.92) * rng.uniform(100, 255)
+        g += ndi.gaussian_filter(
+            ndi.zoom(coarse, 16, order=1)[:h, :ws], rng.uniform(2, 5))
+        return norm255(g)
+
+    families = (tex_smooth, tex_octaves, tex_grating, tex_patchwork,
+                tex_blobs)
+
+    def smooth_field():
+        knots = rng.uniform(0.0, 1.0, (4, 5))
+        field = ndi.zoom(knots, (h / 4.0, w / 5.0), order=3)[:h, :w]
+        lo = float(rng.uniform(1.0, max(2.0, max_shift / 3)))
+        hi = float(rng.uniform(lo + 1.0, max_shift))
+        return lo + (hi - lo) * (field - field.min()) / (
+            np.ptp(field) + 1e-6)
+
+    def planar_field():
+        def plane(lo, hi):
+            a = rng.uniform(lo, hi)
+            return (a + rng.uniform(-.5, .5) * (hi - lo) * (yy / h - 0.5)
+                    + rng.uniform(-.5, .5) * (hi - lo) * (xx / w - 0.5))
+        d = plane(1.5, max(3.0, max_shift * 0.35))
+        for _ in range(int(rng.integers(1, 5))):
+            ph = int(rng.integers(h // 5, h // 2))
+            pw = int(rng.integers(w // 6, w // 2))
+            y0 = int(rng.integers(0, h - ph))
+            x0 = int(rng.integers(0, w - pw))
+            fg = plane(max_shift * 0.45, max_shift - 1.0)
+            d[y0:y0 + ph, x0:x0 + pw] = fg[y0:y0 + ph, x0:x0 + pw]
+        return d
+
+    lefts, rights, gts = [], [], []
+    for _ in range(batch):
+        base = families[int(rng.integers(0, len(families)))]()
+        if rng.random() < 0.6:  # low-texture stamping, as in v1
+            for _ in range(int(rng.integers(1, 4))):
+                ph = int(rng.integers(h // 6, h // 2))
+                pw = int(rng.integers(w // 6, w // 2))
+                y0 = int(rng.integers(0, h - ph))
+                x0 = int(rng.integers(0, base.shape[1] - pw))
+                flat = float(rng.uniform(40, 215))
+                patch = base[y0:y0 + ph, x0:x0 + pw]
+                base[y0:y0 + ph, x0:x0 + pw] = (
+                    flat + 0.02 * (patch - patch.mean()))
+        d = smooth_field() if rng.random() < 0.5 else planar_field()
+        d = np.clip(d, 1.0, max_shift - 1.0).astype(np.float32)
+        left = ndi.map_coordinates(base, [yy, xx - d + max_shift],
+                                   order=1, mode="nearest")
+        lefts.append(left.astype(np.float32))
+        rights.append(base[:, max_shift:])
+        gts.append(d)
+    rgb = lambda g: np.repeat(np.stack(g)[..., None], 3, axis=-1)
+    return (rgb(lefts), rgb(rights), np.stack(gts),
+            np.ones((batch, h, w), np.float32))
+
+
 def video_batch(frames_iter, rng, batch, crop_h, crop_w, sgm_params):
     """Sample eye-pair crops from SBS frames, pseudo-label with SGM."""
     import jax.numpy as jnp
@@ -128,6 +242,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="GRU refinement iterations")
     p.add_argument("--max-disparity", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data", default="v2", choices=("v1", "v2"),
+                   help="Synthetic curriculum: v1 = smooth-noise scenes "
+                        "(round-2 recipe), v2 = diversified families + "
+                        "piecewise-planar geometry (default)")
+    p.add_argument("--video-every", type=int, default=4,
+                   help="With BOTH --video and --synthetic: every Nth "
+                        "batch is SGM-pseudo-labeled footage (self-"
+                        "training mix)")
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--dp", action="store_true",
                    help="Data-parallel training over all visible devices "
@@ -159,6 +281,8 @@ def main(argv=None) -> int:
     cfg = CREStereoConfig(iters=args.iters, max_disparity=args.max_disparity)
     model = CREStereoLite(cfg)
 
+    synth_fn = synthetic_batch if args.data == "v1" else synthetic_batch_v2
+    next_video_batch = None
     if args.video:
         from video3d_tpu.core import VideoReader
 
@@ -170,13 +294,27 @@ def main(argv=None) -> int:
         frames_iter = frame_gen()
         sgm_params = SGBMParams(num_disparities=args.max_disparity)
 
-        def next_batch():
+        def next_video_batch():
             return video_batch(frames_iter, rng, args.batch_size, h, w,
                                sgm_params)
+
+    if args.video and args.synthetic:
+        # self-training mix: mostly synthetic-with-GT, every Nth batch
+        # real footage pseudo-labeled by the SGM matcher (valid px only)
+        step_box = [0]
+
+        def next_batch():
+            step_box[0] += 1
+            if step_box[0] % max(args.video_every, 1) == 0:
+                return next_video_batch()
+            return synth_fn(rng, args.batch_size, h, w,
+                            min(args.max_disparity, w // 4))
+    elif args.video:
+        next_batch = next_video_batch
     else:
         def next_batch():
-            return synthetic_batch(rng, args.batch_size, h, w,
-                                   min(args.max_disparity, w // 4))
+            return synth_fn(rng, args.batch_size, h, w,
+                            min(args.max_disparity, w // 4))
 
     left, right, gt, valid = next_batch()
     params = model.init(jax.random.key(args.seed), left, right)

@@ -261,10 +261,26 @@ def save_checkpoint(path: str, params) -> None:
 
 
 def load_checkpoint(path: str):
+    import numpy as np
     import orbax.checkpoint as ocp
 
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path)
+    try:
+        return ckptr.restore(path)
+    except ValueError:
+        # checkpoint saved on a different device type (e.g. TPU ckpt
+        # restored on a CPU host): restore device-agnostically to host
+        # numpy; arrays move to the default device on first use
+        with ocp.PyTreeCheckpointer() as tree_ckptr:
+            meta = tree_ckptr.metadata(path).item_metadata
+            restore_args = jax.tree.map(
+                lambda _: ocp.RestoreArgs(restore_type=np.ndarray),
+                meta.tree if hasattr(meta, "tree") else meta,
+            )
+            restored = tree_ckptr.restore(
+                path, args=ocp.args.PyTreeRestore(restore_args=restore_args)
+            )
+        return restored
 
 
 def load_crestereo_guidance(checkpoint: str,
