@@ -176,3 +176,38 @@ def test_int16_8path_worst_case_no_overflow():
     out_i = sgm_wta_pallas_dmajor(worst_i16, p, interpret=True)
     out_f = sgm_wta_pallas_dmajor(worst_f32, p, interpret=True)
     np.testing.assert_allclose(np.asarray(out_i), np.asarray(out_f), atol=1e-3)
+
+
+@pytest.mark.parametrize("h,w,nd,cap", [(16, 64, 8, 31), (64, 128, 32, 63)])
+def test_int16_fused_cost_volume_bit_exact(h, w, nd, cap):
+    """The native-int16 (2x-scale) fused cost kernel is BIT-exact against
+    jnp.round of the f32 oracle: with the integer-valued prefilter
+    (xsobel_clip rounds, like cv2's uint8 LUT) every box total is an
+    exact multiple of 0.5, and the kernel's ties-to-even halving equals
+    jnp.round on f32 sums (exact below 2**24)."""
+    from video3d_tpu.kernels.costvol import fused_cost_volume
+
+    r = np.random.default_rng(11)
+    left = xsobel_clip(
+        jnp.asarray(r.uniform(0, 255, (2, h, w)).astype(np.float32)), cap
+    )
+    right = xsobel_clip(
+        jnp.asarray(r.uniform(0, 255, (2, h, w)).astype(np.float32)), cap
+    )
+    ri = 2.0 * cap
+    oracle = jnp.round(
+        box_aggregate_hw(
+            bt_cost_volume_dmajor(left, right, nd, raw_invalid=ri), 5
+        )
+    ).astype(jnp.int16)
+    import os
+
+    os.environ["VIDEO3D_TPU_COSTVOL_NATIVE_I16"] = "1"
+    try:
+        out = fused_cost_volume(
+            left, right, nd, 5, out_dtype=jnp.int16, raw_invalid=ri,
+            interpret=True,
+        )
+    finally:
+        del os.environ["VIDEO3D_TPU_COSTVOL_NATIVE_I16"]
+    assert (np.asarray(out) == np.asarray(oracle)).all()

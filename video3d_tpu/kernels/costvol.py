@@ -88,8 +88,20 @@ def _cost_kernel(
     # seed the out block with the rows staged during the previous step
     out_ref[...] = stage_ref[...]
 
+    # native-int16 arithmetic is bit-exact (see _cost_row_step_i16) but
+    # requires 16-bit lane rotates, which current Mosaic cannot lower
+    # ("Rotate with non-32-bit data" on tpu.dynamic_rotate) -- so the
+    # f32-compute path stays the default even for int16 output, and the
+    # int16 path is opt-in for interpret mode / future Mosaic versions.
+    import os
+
+    use_i16 = (
+        jnp.issubdtype(out_ref.dtype, jnp.integer)
+        and os.environ.get("VIDEO3D_TPU_COSTVOL_NATIVE_I16") == "1"
+    )
+    row_step = _cost_row_step_i16 if use_i16 else _cost_row_step
     for i in range(rps):
-        _cost_row_step(
+        row_step(
             left_ref[:, i],  # (BB, 1, W)
             right_ref[:, i],
             out_ref,
@@ -104,6 +116,111 @@ def _cost_kernel(
             rps=rps,
             raw_invalid=raw_invalid,
         )
+
+
+def _cost_row_step_i16(
+    l_row,
+    r_row,
+    out_ref,
+    ring_ref,
+    vsum_ref,
+    stage_ref,
+    *,
+    y,
+    i: int,
+    num_disp: int,
+    pad: int,
+    h: int,
+    rps: int,
+    raw_invalid: float,
+):
+    """Integer twin of :func:`_cost_row_step`: all ring/box arithmetic in
+    native int16 at 2x scale.
+
+    The prefiltered rows are integer-valued (ops.stereo.xsobel_clip
+    rounds, like cv2's uint8 LUT), so BT half-sample envelopes are exact
+    multiples of 0.5 -- at 2x scale every cost, vertical ring sum and
+    5-tap box total is an exact int16 (bound: 25 * 2 * 2*prefilter_cap
+    = 12.6k << 32767). Emission halves back to the 1x contract with
+    ties-to-even, reproducing ``jnp.round`` of the f32 oracle BIT-EXACTLY
+    (f32 sums of half-integers below 2**24 are exact). int16 tiles halve
+    the VPU vreg count of this instruction-bound kernel vs the f32 path.
+    """
+    ring_slots = 2 * pad + 1
+    bb, _, w = l_row.shape
+    i16 = jnp.int16
+    zero = jnp.asarray(0, i16)
+    l1 = l_row.astype(i16)  # exact: integer-valued f32 in [0, 2*cap]
+    r1 = r_row.astype(i16)
+
+    def env2(row):  # 2x-scaled BT envelopes of a (BB, 1, W) int row
+        cols = jax.lax.broadcasted_iota(jnp.int32, row.shape, 2)
+        prev = jnp.where(cols == 0, row, pltpu.roll(row, 1, axis=2))
+        nxt = jnp.where(cols == w - 1, row, pltpu.roll(row, w - 1, axis=2))
+        two = row + row
+        lo2 = jnp.minimum(jnp.minimum(row + prev, row + nxt), two)
+        hi2 = jnp.maximum(jnp.maximum(row + prev, row + nxt), two)
+        return lo2, hi2
+
+    l_lo2, l_hi2 = env2(l1)
+    r_lo2, r_hi2 = env2(r1)
+    l2 = l1 + l1
+    r2 = r1 + r1
+    sub = 8
+
+    def stack8(row):  # (BB, 1, W) -> (BB, 8, W) with row k shifted by k
+        return jnp.concatenate(
+            [row if k == 0 else pltpu.roll(row, k, axis=2) for k in range(sub)],
+            axis=1,
+        )
+
+    r_base = stack8(r2)
+    rlo_base = stack8(r_lo2)
+    rhi_base = stack8(r_hi2)
+    d_iota8 = jax.lax.broadcasted_iota(jnp.int32, (bb, sub, w), 1)
+    cols8 = jax.lax.broadcasted_iota(jnp.int32, (bb, sub, w), 2)
+    inv2 = jnp.asarray(int(round(2.0 * raw_invalid)), i16)
+    pieces = []
+    for j in range(num_disp // sub):
+        if j == 0:
+            r_d, rlo_d, rhi_d = r_base, rlo_base, rhi_base
+        else:
+            r_d = pltpu.roll(r_base, sub * j, axis=2)
+            rlo_d = pltpu.roll(rlo_base, sub * j, axis=2)
+            rhi_d = pltpu.roll(rhi_base, sub * j, axis=2)
+        d_lr = jnp.maximum(zero, jnp.maximum(l2 - rhi_d, rlo_d - l2))
+        d_rl = jnp.maximum(zero, jnp.maximum(r_d - l_hi2, l_lo2 - r_d))
+        cost = jnp.minimum(d_lr, d_rl)
+        cost = jnp.where(cols8 < d_iota8 + sub * j, inv2, cost)
+        pieces.append(cost)
+    raw = jnp.concatenate(pieces, axis=1)  # (BB, D, W), 2x scale
+    raw = jnp.where(y < h, raw, zero)
+
+    slot = jax.lax.rem(y, ring_slots)
+    oldest = ring_ref[slot]
+    vsum = vsum_ref[...] + raw - oldest
+    vsum_ref[...] = vsum
+    ring_ref[slot] = raw
+
+    @pl.when(y >= pad)
+    def _():
+        wcols = jax.lax.broadcasted_iota(jnp.int32, vsum.shape, 2)
+        total = vsum
+        for dx in range(1, pad + 1):
+            left_sh = pltpu.roll(vsum, dx, axis=2)
+            total = total + jnp.where(wcols < dx, zero, left_sh)
+            right_sh = pltpu.roll(vsum, w - dx, axis=2)
+            total = total + jnp.where(wcols >= w - dx, zero, right_sh)
+        # ties-to-even halving back to 1x: round(t/2) == (t + (t>>1 & 1)) >> 1
+        # for non-negative t (t=5 -> 2, t=7 -> 4, matching jnp.round)
+        half = jnp.right_shift(total, 1)
+        val = jnp.right_shift(
+            total + jnp.bitwise_and(half, jnp.asarray(1, i16)), 1
+        ).astype(out_ref.dtype)
+        if i < pad:
+            out_ref[:, rps - pad + i] = val
+        else:
+            stage_ref[:, i - pad] = val
 
 
 def _cost_row_step(
@@ -218,6 +335,18 @@ def fused_cost_volume(
     b, h, w = left_gray.shape
     pad = block_size // 2
     out_bytes = jnp.dtype(out_dtype).itemsize
+    import os
+
+    integer = jnp.issubdtype(jnp.dtype(out_dtype), jnp.integer) and (
+        os.environ.get("VIDEO3D_TPU_COSTVOL_NATIVE_I16") == "1"
+    )
+    if integer:
+        # int16-2x path bound: the whole box total must fit int16
+        assert 2 * raw_invalid * block_size**2 < 32767, (
+            "int16 cost path overflows for raw_invalid="
+            f"{raw_invalid}, block_size={block_size}"
+        )
+    ring_bytes = 2 if integer else 4  # ring/vsum live in the compute dtype
 
     # rows per grid step: the passes were step-count-bound at one row
     # per step (~1082 steps x ~4 us at 1080p); deeper steps amortize.
@@ -231,7 +360,7 @@ def fused_cost_volume(
     def vmem(bb, rps):
         if rps < pad:
             return 1 << 62  # illegal: staging slot math needs rps >= pad
-        ring = (2 * pad + 2) * bb * 4 * num_disp * w  # ring + vsum (f32)
+        ring = (2 * pad + 2) * bb * ring_bytes * num_disp * w  # ring + vsum
         stage = bb * rps * out_bytes * num_disp * w
         blocks = 2 * bb * rps * out_bytes * num_disp * w  # out dbl-buffered
         return (
@@ -268,8 +397,10 @@ def fused_cost_volume(
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, num_disp, w), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((2 * pad + 1, bb, num_disp, w), jnp.float32),
-            pltpu.VMEM((bb, num_disp, w), jnp.float32),
+            pltpu.VMEM((2 * pad + 1, bb, num_disp, w),
+                       jnp.int16 if integer else jnp.float32),
+            pltpu.VMEM((bb, num_disp, w),
+                       jnp.int16 if integer else jnp.float32),
             pltpu.VMEM((bb, rps, num_disp, w), out_dtype),
         ],
         interpret=interpret,

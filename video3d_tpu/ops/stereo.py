@@ -73,8 +73,12 @@ INVALID = lambda p: float(p.min_disparity - 1)
 def xsobel_clip(gray: jnp.ndarray, cap: int) -> jnp.ndarray:
     """Horizontal Sobel derivative, clipped and shifted to [0, 2*cap].
 
-    OpenCV SGBM prefilters with an x-Sobel response clamped through a lookup
-    table before BT costs; this is the float analogue. (..., H, W) float32.
+    OpenCV SGBM prefilters with an x-Sobel response clamped through an
+    integer lookup table (uint8 in, uint8 out) before BT costs; like
+    cv2's, the output is integer-valued (rounded) -- which also makes
+    every downstream BT cost an exact multiple of 0.5, so the fused cost
+    kernel can run its ring/box arithmetic natively in int16 at 2x scale
+    (kernels/costvol.py) with zero numeric drift. (..., H, W) float32.
     """
     g = gray.astype(jnp.float32)
     gp = jnp.pad(g, [(0, 0)] * (g.ndim - 2) + [(1, 1), (1, 1)], mode="edge")
@@ -85,7 +89,7 @@ def xsobel_clip(gray: jnp.ndarray, cap: int) -> jnp.ndarray:
         return jax.lax.slice_in_dim(s, dx, dx + w, axis=-1)
 
     dx = (win(0, 2) - win(0, 0)) + 2.0 * (win(1, 2) - win(1, 0)) + (win(2, 2) - win(2, 0))
-    return jnp.clip(dx, -float(cap), float(cap)) + float(cap)
+    return jnp.round(jnp.clip(dx, -float(cap), float(cap))) + float(cap)
 
 
 def _bt_bounds(img: jnp.ndarray):
