@@ -211,3 +211,74 @@ def test_int16_fused_cost_volume_bit_exact(h, w, nd, cap):
     finally:
         del os.environ["VIDEO3D_TPU_COSTVOL_NATIVE_I16"]
     assert (np.asarray(out) == np.asarray(oracle)).all()
+
+
+@pytest.mark.parametrize("route", ["xla", "mxu"])
+@pytest.mark.parametrize("paths", [5, 8])
+def test_wmajor_route_matches_legacy_route(paths, route):
+    """Horizontal passes on the W-major (B,D,W,H[P]) layout -- native
+    int16 sweeps, XLA-permute or MXU identity-matmul transposes --
+    produce bit-identical disparities to the legacy swapaxes route."""
+    import os
+
+    from video3d_tpu.kernels.costvol import fused_cost_volume
+    from video3d_tpu.kernels.sgm import sgm_wta_pallas_dmajor
+
+    r = np.random.default_rng(13)
+    h, w, nd, shift = 40, 128, 8, 3
+    base = r.uniform(0, 255, (2, h, w + shift)).astype(np.float32)
+    left = xsobel_clip(jnp.asarray(base[:, :, :w]), 63)
+    right = xsobel_clip(jnp.asarray(base[:, :, shift:shift + w]), 63)
+    cost = fused_cost_volume(left, right, nd, 5, out_dtype=jnp.int16,
+                             raw_invalid=126.0, interpret=True)
+    p = SGBMParams(num_disparities=nd, speckle_window_size=0,
+                   num_paths=paths)
+    os.environ["VIDEO3D_TPU_SGM_TRANSPOSE"] = "legacy"
+    try:
+        ref = sgm_wta_pallas_dmajor(cost, p, interpret=True)
+        os.environ["VIDEO3D_TPU_SGM_TRANSPOSE"] = route
+        out = sgm_wta_pallas_dmajor(cost, p, interpret=True)
+    finally:
+        os.environ.pop("VIDEO3D_TPU_SGM_TRANSPOSE", None)
+    assert (np.asarray(out) == np.asarray(ref)).all()
+
+
+def test_mxu_transposes_roundtrip():
+    from video3d_tpu.kernels.sgm import (
+        transpose_from_wmajor,
+        transpose_to_wmajor,
+    )
+
+    r = np.random.default_rng(17)
+    x = jnp.asarray(r.integers(0, 30000, (2, 40, 8, 256)).astype(np.int16))
+    t = transpose_to_wmajor(x, interpret=True)
+    assert t.shape == (2, 8, 256, 128)
+    np.testing.assert_array_equal(
+        np.asarray(t)[..., :40], np.asarray(jnp.transpose(x, (0, 2, 3, 1)))
+    )
+    back = transpose_from_wmajor(t, 40, interpret=True)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+@pytest.mark.parametrize("h,w,nd,dtype", [
+    (16, 128, 8, "int16"),
+    (24, 256, 16, "int16"),
+    (16, 128, 8, "bfloat16"),
+])
+def test_fused_prefilter_bit_exact(h, w, nd, dtype):
+    """fused_cost_volume(raw, prefilter_cap=c) == fused_cost_volume of
+    xsobel_clip'ed inputs -- the in-kernel streaming Sobel is exact."""
+    from video3d_tpu.kernels.costvol import fused_cost_volume
+
+    dt = jnp.int16 if dtype == "int16" else jnp.bfloat16
+    inv = 126.0 if dtype == "int16" else 1e9
+    r = np.random.default_rng(5)
+    raw_l = jnp.asarray(r.uniform(0, 255, (2, h, w)).astype(np.float32))
+    raw_r = jnp.asarray(r.uniform(0, 255, (2, h, w)).astype(np.float32))
+    want = fused_cost_volume(xsobel_clip(raw_l, 63), xsobel_clip(raw_r, 63),
+                             nd, 5, out_dtype=dt, raw_invalid=inv,
+                             interpret=True)
+    got = fused_cost_volume(raw_l, raw_r, nd, 5, out_dtype=dt,
+                            raw_invalid=inv, interpret=True,
+                            prefilter_cap=63)
+    assert (np.asarray(want) == np.asarray(got)).all()

@@ -74,6 +74,7 @@ def main() -> None:
     from video3d_tpu.kernels.costvol import fused_cost_volume
     from video3d_tpu.kernels.sgm import (
         _directional_pass_dmajor,
+        _horizontal_passes_wmajor,
         sgm_wta_pallas_dmajor,
     )
     from video3d_tpu.ops.stereo import (
@@ -131,6 +132,25 @@ def main() -> None:
             (cost_t, acc_t), vol * cb + 2 * vol * ab),
         "transpose_acc": (lambda a: jnp.swapaxes(a, 1, 3), (acc_t,),
                           2 * vol * ab),
+        # A/B: both horizontal sweeps INCLUDING the layout round-trip,
+        # legacy (B,W,D,H) route vs W-major (B,D,W,H) route
+        "h_passes_legacy": (
+            lambda c: jnp.swapaxes(
+                _directional_pass_dmajor(
+                    jnp.swapaxes(c, 1, 3),
+                    _directional_pass_dmajor(
+                        jnp.swapaxes(c, 1, 3), None, (0,), p.p1, p.p2,
+                        False),
+                    (0,), p.p1, p.p2, True),
+                1, 3),
+            (cost,),
+            2 * vol * cb + (vol * cb + vol * ab) + (vol * cb + 2 * vol * ab)
+            + 2 * vol * ab),
+        "h_passes_wmajor": (
+            lambda c: _horizontal_passes_wmajor(c, p.p1, p.p2, acc.dtype),
+            (cost,),
+            2 * vol * cb + (vol * cb + vol * ab) + (vol * cb + 2 * vol * ab)
+            + 2 * vol * ab),
         "v_fwd_pass3": (
             lambda c, a: _directional_pass_dmajor(c, a, (0, 1, -1), p.p1,
                                                   p.p2, False),

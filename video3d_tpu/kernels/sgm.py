@@ -177,6 +177,338 @@ def sgm_aggregate_pallas(
 
 
 # ---------------------------------------------------------------------------
+# MXU identity-matmul layout transposes
+# ---------------------------------------------------------------------------
+#
+# The horizontal SGM sweeps need a W-major volume; XLA's swapaxes costs
+# ~2 ms/frame each way at 1080p (bench_profile.json transpose_cost/
+# transpose_acc). In-kernel Mosaic transposes are unavailable (both
+# jnp.transpose forms crash or get rejected by the tiling rules, and
+# 16-bit lane rotates don't lower). What DOES lower is transpose-as-
+# matmul: dot_general(X, I) contracting lhs axis 0 computes X^T inside
+# the MXU operand load -- no transpose/rotate ops anywhere. For exact
+# int-valued data the product must avoid the MXU's bf16 rounding, so X
+# splits into hi/lo bytes (both exact in bf16), transposed by two bf16
+# identity matmuls and recombined in f32 (exact: each dot row has ONE
+# nonzero product).
+#
+# Layout choice: the W-major volume is (B, D, W, HP) with HP = H padded
+# to a lane multiple -- each grid step transposes a (HB, D, WB) input
+# block to (D, WB, HB) with ONE batched dot per matmul (full-tile
+# writes), and the horizontal sweep reads (bb, D, rps, HP) blocks whose
+# last two dims (rps, HP) tile legally. Lanes >= H carry garbage that
+# no consumer reads back (sweep lanes are independent; the inverse
+# transpose writes only real rows).
+
+_TILE = 128
+
+
+def _mxu_t_kernel_fwd(x_ref, o_ref, *, exact_split: bool):
+    """(1, HB, D, WB) block -> (1, D, WB, HB): out[d,w,h] = in[h,d,w]."""
+    dn = (((0,), (0,)), ((), ()))
+    xs = x_ref[0].astype(jnp.float32)
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 1)
+    )
+    if exact_split:
+        hi = jnp.floor(xs * (1.0 / 256.0))
+        lo = xs - hi * 256.0
+        eye_b = eye.astype(jnp.bfloat16)
+        t_hi = jax.lax.dot_general(hi.astype(jnp.bfloat16), eye_b, dn,
+                                   preferred_element_type=jnp.float32)
+        t_lo = jax.lax.dot_general(lo.astype(jnp.bfloat16), eye_b, dn,
+                                   preferred_element_type=jnp.float32)
+        out = t_hi * 256.0 + t_lo
+    else:
+        out = jax.lax.dot_general(xs, eye.astype(jnp.float32), dn,
+                                  precision=jax.lax.Precision.HIGHEST,
+                                  preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def _mxu_t_kernel_bwd(x_ref, o_ref, *, exact_split: bool):
+    """(1, D, WB, HB) block -> (1, HB, D, WB): out[h,d,w] = in[d,w,h]."""
+    dn = (((1,), (2,)), ((), ()))
+    xs = x_ref[0].astype(jnp.float32)
+    eye = (
+        jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 0)
+        == jax.lax.broadcasted_iota(jnp.int32, (_TILE, _TILE), 1)
+    )
+    if exact_split:
+        hi = jnp.floor(xs * (1.0 / 256.0))
+        lo = xs - hi * 256.0
+        eye_b = eye.astype(jnp.bfloat16)
+        t_hi = jax.lax.dot_general(eye_b, hi.astype(jnp.bfloat16), dn,
+                                   preferred_element_type=jnp.float32)
+        t_lo = jax.lax.dot_general(eye_b, lo.astype(jnp.bfloat16), dn,
+                                   preferred_element_type=jnp.float32)
+        out = t_hi * 256.0 + t_lo
+    else:
+        out = jax.lax.dot_general(eye.astype(jnp.float32), xs, dn,
+                                  precision=jax.lax.Precision.HIGHEST,
+                                  preferred_element_type=jnp.float32)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def transpose_to_wmajor(cost: jnp.ndarray, exact_split: bool = True,
+                        interpret: bool = False) -> jnp.ndarray:
+    """(B, H, D, W) -> (B, D, W, HP) via MXU identity matmuls.
+
+    Values must be non-negative integers < 2**15 (int16 cost / integer-
+    valued f32 accumulators) for the exact hi/lo split. HP = H rounded
+    up to 128; lanes >= H are garbage by contract.
+    """
+    b, h, d, w = cost.shape
+    hp = -(-h // _TILE) * _TILE
+    kern = functools.partial(_mxu_t_kernel_fwd, exact_split=exact_split)
+    in_spec = pl.BlockSpec((1, _TILE, d, _TILE),
+                           lambda i, y, z: (i, y, 0, z),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, d, _TILE, _TILE),
+                            lambda i, y, z: (i, 0, z, y),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern, grid=(b, hp // _TILE, w // _TILE),
+        in_specs=[in_spec], out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, d, w, hp), cost.dtype),
+        interpret=interpret,
+    )(cost)
+
+
+def transpose_from_wmajor(acc_t: jnp.ndarray, h: int,
+                          exact_split: bool = True,
+                          interpret: bool = False) -> jnp.ndarray:
+    """(B, D, W, HP) -> (B, H, D, W), inverse of :func:`transpose_to_wmajor`."""
+    b, d, w, hp = acc_t.shape
+    kern = functools.partial(_mxu_t_kernel_bwd, exact_split=exact_split)
+    in_spec = pl.BlockSpec((1, d, _TILE, _TILE),
+                           lambda i, y, z: (i, 0, z, y),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((1, _TILE, d, _TILE),
+                            lambda i, y, z: (i, y, 0, z),
+                            memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        kern, grid=(b, hp // _TILE, w // _TILE),
+        in_specs=[in_spec], out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((b, h, d, w), acc_t.dtype),
+        interpret=interpret,
+    )(acc_t)
+
+
+def _vmin(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Elementwise min that lowers for int16 on Mosaic.
+
+    `jnp.minimum` emits `arith.minsi`, which Mosaic fails to legalize
+    for packed i16 vectors (observed: "failed to legalize operation
+    'arith.minsi'" on vector<8x128x2xi16>); the compare+select pair
+    lowers fine and is the same VPU cost."""
+    if jnp.issubdtype(a.dtype, jnp.integer):
+        return jnp.where(a < b, a, b)
+    return jnp.minimum(a, b)
+
+
+def _tree_min_axis1(x: jnp.ndarray) -> jnp.ndarray:
+    """Min over axis 1 (a MAJOR axis) via pairwise halving -- elementwise
+    minimums only (no reduce ops, no lane/sublane shuffles)."""
+    n = x.shape[1]
+    while n > 1:
+        half = n // 2
+        a = _vmin(x[:, :half], x[:, half:2 * half])
+        if n % 2:
+            a = jnp.concatenate([a, x[:, 2 * half:]], axis=1)
+        x = a
+        n = x.shape[1]
+    return x  # (BB, 1, HL)
+
+
+def _row_kernel_wmajor(
+    cost_ref,
+    acc_ref,
+    out_ref,
+    carry_ref,
+    *,
+    p1: float,
+    p2: float,
+    reverse: bool,
+):
+    """Horizontal sweep on the (B, D, W, HL) layout.
+
+    Blocks are (BB, D, RPS, HL): scan lines (W positions) at axis 2,
+    disparity on a MAJOR axis, lanes = independent image rows. Every op
+    is elementwise / major-axis slicing -- no lane rotates, no sublane
+    shuffles, no reduce ops. Carries are f32 (exact for integer-valued
+    costs; native int16 does not legalize on current Mosaic, see
+    :func:`_wmajor_carry_dtype`); cost/acc HBM blocks stay int16.
+    Shift set is (0,): diagonals belong to the vertical sweeps.
+    """
+    y = pl.program_id(1)
+
+    @pl.when(y == 0)
+    def _():
+        carry_ref[...] = jnp.zeros_like(carry_ref)
+
+    ct = carry_ref.dtype
+    sent = jnp.asarray(_sentinel_for(ct), ct)
+    p1c = jnp.asarray(p1, ct)
+    p2c = jnp.asarray(p2, ct)
+    rps = cost_ref.shape[2]
+    rows = range(rps - 1, -1, -1) if reverse else range(rps)
+    for r in rows:
+        c = cost_ref[:, :, r].astype(ct)  # (BB, D, HL); int16: no-op cast
+        prev = carry_ref[...]  # (BB, D, HL)
+        m = _tree_min_axis1(prev)  # (BB, 1, HL)
+        up = jnp.concatenate(
+            [prev[:, 1:], jnp.full_like(prev[:, :1], sent)], axis=1
+        )
+        dn = jnp.concatenate(
+            [jnp.full_like(prev[:, :1], sent), prev[:, :-1]], axis=1
+        )
+        best = _vmin(_vmin(prev, m + p2c), _vmin(up, dn) + p1c)
+        l_new = c + best - m
+        carry_ref[...] = l_new
+        total = (
+            l_new if acc_ref is None
+            else acc_ref[:, :, r].astype(ct) + l_new
+        )
+        out_ref[:, :, r] = total.astype(out_ref.dtype)
+
+
+def _wmajor_carry_dtype(cost_dtype, acc_dtype, p1: float, p2: float):
+    """Always f32: native-int16 sweeps do not lower on current Mosaic.
+
+    Measured on the round-3 toolchain: `arith.minsi` AND `arith.cmpi`
+    both fail to legalize for i16 vectors of every shape tried (3D
+    (1,D,HL) packed vector<8x128x2xi16>, plain 2D (D,HL) tiles, with and
+    without broadcasts/slices) -- so neither jnp.minimum nor a
+    compare+select formulation of the SGM min runs in int16. f32 compute
+    is exact here regardless (all path values are integers < 2**24);
+    int16 remains the HBM storage dtype for cost/acc blocks."""
+    del cost_dtype, acc_dtype, p1, p2
+    return jnp.float32
+
+
+def _directional_pass_wmajor(
+    cost_t: jnp.ndarray,
+    acc_t,
+    p1: float,
+    p2: float,
+    reverse: bool,
+    interpret: bool = False,
+    acc_dtype=None,
+):
+    """Horizontal sweep over axis 2 (W) of (B, D, W, HL), adding into acc.
+
+    HL is the lane axis (image rows) and may be any size: the block
+    spans it whole (Mosaic's block rule admits spanning dims), so the
+    unpadded H works directly.
+    """
+    b, d, w, hl = cost_t.shape
+    if acc_t is not None:
+        acc_dtype = acc_t.dtype
+    elif acc_dtype is None:
+        acc_dtype = _acc_dtype_for(cost_t.dtype)
+    ct = _wmajor_carry_dtype(cost_t.dtype, acc_dtype, p1, p2)
+    cb = jnp.dtype(ct).itemsize
+    ab = jnp.dtype(acc_dtype).itemsize
+    budget = 14 * 2**20
+    dp = -(-d // 8) * 8
+    hp = -(-hl // 128) * 128
+
+    def vmem(bb, rps):
+        if rps % 8 and rps != w:
+            # rps is a second-to-last block dim in this layout: Mosaic
+            # requires it 8-divisible (or spanning)
+            return 1 << 62
+        # carry + double-buffered cost/acc-in/out blocks + row staging
+        return (
+            bb * cb * dp * hp
+            + (bb * rps * (2 * (cost_t.dtype.itemsize + 2 * ab) + cb))
+            * dp * hp
+        )
+
+    bb, rps = _pick_tiling(b, w, vmem, budget)
+    nblk = w // rps
+    if reverse:
+        index_map = lambda i, y: (i, 0, nblk - 1 - y, 0)
+    else:
+        index_map = lambda i, y: (i, 0, y, 0)
+    spec = pl.BlockSpec((bb, d, rps, hl), index_map, memory_space=pltpu.VMEM)
+    scratch = [pltpu.VMEM((bb, d, hl), ct)]
+    kernel = functools.partial(_row_kernel_wmajor, p1=p1, p2=p2,
+                               reverse=reverse)
+    if acc_t is None:
+        def kernel_noacc(cost_ref, out_ref, carry_ref):
+            kernel(cost_ref, None, out_ref, carry_ref)
+
+        return pl.pallas_call(
+            kernel_noacc,
+            grid=(b // bb, nblk),
+            in_specs=[spec],
+            out_specs=spec,
+            out_shape=jax.ShapeDtypeStruct(cost_t.shape, acc_dtype),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(cost_t)
+    return pl.pallas_call(
+        kernel,
+        grid=(b // bb, nblk),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(acc_t.shape, acc_t.dtype),
+        scratch_shapes=scratch,
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(cost_t, acc_t)
+
+
+def _horizontal_passes_wmajor(cost: jnp.ndarray, p1: float, p2: float,
+                              acc_dtype, interpret: bool = False,
+                              route: str = "xla"):
+    """Both horizontal sweeps on the (B, D, W, H) W-major layout.
+
+    The sweeps themselves run native-int16 (see _row_kernel_wmajor).
+    ``route`` picks the layout change: "xla" = jnp.transpose permutes
+    (measured ~1.5-2 ms/frame each way at 1080p, bandwidth-pattern
+    bound); "mxu" = the Pallas identity-matmul kernels (exact, but the
+    int16<->f32 widening makes them slower on current Mosaic -- kept
+    for A/B and future toolchains).
+    """
+    h = cost.shape[1]
+    if route == "mxu" and cost.shape[3] % _TILE == 0:
+        cost_t = transpose_to_wmajor(cost, interpret=interpret)
+    else:
+        cost_t = jnp.transpose(cost, (0, 2, 3, 1))  # (B, D, W, H)
+    acc_t = _directional_pass_wmajor(cost_t, None, p1, p2, False,
+                                     interpret, acc_dtype=acc_dtype)
+    acc_t = _directional_pass_wmajor(cost_t, acc_t, p1, p2, True, interpret)
+    if route == "mxu" and cost.shape[3] % _TILE == 0:
+        return transpose_from_wmajor(acc_t, h, interpret=interpret)
+    return jnp.transpose(acc_t, (0, 3, 1, 2))
+
+
+def _sweep_compiler_params():
+    """Megacore-style grid splitting for the sweep kernels (A/B hook).
+
+    Axis 0 of the sweep grids (frame blocks) is embarrassingly parallel
+    -- each frame block owns its carry scratch, and the serial
+    recurrence only spans axis 1. The ``parallel`` marking lets
+    multi-TensorCore chips (v4/v5p megacore) split the grid across
+    cores. Default ON: output verified bit-identical on-chip, and the
+    chained h_passes A/B measured 4.55 vs 4.83 ms/frame with the hint
+    on v5e's single TensorCore (neutral-to-positive there, a ~2x
+    step-count win wherever megacore exists). Set
+    ``VIDEO3D_TPU_SGM_MEGACORE=0`` to disable for A/B.
+    """
+    import os
+
+    if os.environ.get("VIDEO3D_TPU_SGM_MEGACORE", "1") == "1":
+        return pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"))
+    return None
+
+
+# ---------------------------------------------------------------------------
 # D-major layout variant: cost (B, H, D, W)
 # ---------------------------------------------------------------------------
 #
@@ -340,6 +672,7 @@ def _directional_pass_dmajor(
     else:
         index_map = lambda i, y: (i, y, 0, 0)
     spec = pl.BlockSpec((bb, rps, d, w), index_map, memory_space=pltpu.VMEM)
+    cparams = _sweep_compiler_params()
     if acc is None:
         def kernel_noacc(cost_ref, out_ref, carry_ref):
             _row_kernel_dmajor(
@@ -355,6 +688,7 @@ def _directional_pass_dmajor(
             out_shape=jax.ShapeDtypeStruct(cost.shape, acc_dtype),
             scratch_shapes=[pltpu.VMEM((len(shifts), bb, d, w), jnp.float32)],
             interpret=interpret,
+            compiler_params=cparams,
         )(cost)
     kernel = functools.partial(
         _row_kernel_dmajor, shifts=shifts, p1=p1, p2=p2, reverse=reverse
@@ -368,6 +702,7 @@ def _directional_pass_dmajor(
         scratch_shapes=[pltpu.VMEM((len(shifts), bb, d, w), jnp.float32)],
         input_output_aliases={1: 0},
         interpret=interpret,
+        compiler_params=cparams,
     )(cost, acc)
 
 
@@ -555,16 +890,40 @@ def sgm_wta_pallas_dmajor(
     final reverse vertical pass is fused with WTA so the aggregated
     volume never returns to HBM.
     """
+    import os
+
     p1, p2 = float(params.p1), float(params.p2)
     b, h, d, w = cost.shape
     acc_dtype = acc_dtype_for_params(cost.dtype, params)
 
-    cost_t = jnp.swapaxes(cost, 1, 3)  # (B, W, D, H)
-    acc_t = _directional_pass_dmajor(
-        cost_t, None, (0,), p1, p2, False, interpret, acc_dtype=acc_dtype
+    # Horizontal passes. Default = legacy (B, W, D, H) swapaxes route:
+    # the round-3 A/B (tools/profile_sgm.py h_passes_legacy/
+    # h_passes_wmajor) measured the alternative W-major (B, D, W, H)
+    # route 3x SLOWER at production shapes (14.8 vs 4.8 ms/frame
+    # chained) -- its hoped-for native-int16 sweeps don't lower at all
+    # (arith.minsi/cmpi fail to legalize for i16 vectors, see
+    # _wmajor_carry_dtype), and with f32 carries its (rps, HL)-tiled
+    # blocks stream worse than the legacy (D, H) tiles. The route stays
+    # available for A/B on future toolchains:
+    # VIDEO3D_TPU_SGM_TRANSPOSE: legacy (default) | xla | mxu.
+    route = os.environ.get("VIDEO3D_TPU_SGM_TRANSPOSE", "legacy")
+    use_wmajor = (
+        jnp.issubdtype(cost.dtype, jnp.integer)
+        and d % 8 == 0
+        and route in ("xla", "mxu")
     )
-    acc_t = _directional_pass_dmajor(cost_t, acc_t, (0,), p1, p2, True, interpret)
-    acc = jnp.swapaxes(acc_t, 1, 3)
+    if use_wmajor:
+        acc = _horizontal_passes_wmajor(cost, p1, p2, acc_dtype, interpret,
+                                        route=route)
+    else:
+        cost_t = jnp.swapaxes(cost, 1, 3)  # (B, W, D, H)
+        acc_t = _directional_pass_dmajor(
+            cost_t, None, (0,), p1, p2, False, interpret, acc_dtype=acc_dtype
+        )
+        acc_t = _directional_pass_dmajor(
+            cost_t, acc_t, (0,), p1, p2, True, interpret
+        )
+        acc = jnp.swapaxes(acc_t, 1, 3)
 
     final_reverse = True
     if params.num_paths == 5:
