@@ -260,3 +260,69 @@ def test_pallas_warp_matches_xla_shift_stack(shape):
         warp_bilinear_shifts_pallas(img, fy, fx, r, interpret=True)
     )
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Fast (gather-free / fused-kernel) estimator
+
+
+def test_flow_level_fast_pallas_matches_xla():
+    """flowmatch kernel (interpret) == the XLA formulation of the same
+    level math (warp, clipped SADs, softargmin, smoothing)."""
+    from video3d_tpu.ops.flow import _flow_level_fast
+
+    rng = np.random.default_rng(3)
+    h, w = 48, 64
+    cur = jnp.asarray(smooth_texture(rng, h, w))
+    prev = jnp.asarray(smooth_texture(rng, h, w))
+    fy = jnp.asarray(
+        np.random.default_rng(4).uniform(-3, 3, (h, w)).astype(np.float32))
+    fx = jnp.asarray(
+        np.random.default_rng(5).uniform(-3, 3, (h, w)).astype(np.float32))
+    ref_y, ref_x = _flow_level_fast(cur, prev, fy, fx, search=2, radius=3,
+                                    tau=2.0, warp_r=4, use_pallas=False)
+    got_y, got_x = _flow_level_fast(cur, prev, fy, fx, search=2, radius=3,
+                                    tau=2.0, warp_r=4, use_pallas=True,
+                                    interpret=True)
+    np.testing.assert_allclose(np.asarray(got_y), np.asarray(ref_y),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(got_x), np.asarray(ref_x),
+                               atol=2e-4)
+
+
+@pytest.mark.parametrize("sy,sx", [(0, 3), (2, 0), (-2, 3)])
+def test_fast_flow_recovers_constant_shift(sy, sx):
+    """estimate_flow_fast finds the same motion as the gather estimator
+    on in-range content."""
+    from video3d_tpu.ops.flow import estimate_flow_fast
+
+    rng = np.random.default_rng(7)
+    pad = 8
+    h, w = 96, 128
+    base = smooth_texture(rng, h + 2 * pad, w + 2 * pad)
+    prev = base[pad - sy : pad - sy + h, pad - sx : pad - sx + w]
+    cur = base[pad : pad + h, pad : pad + w]
+    fy, fx = estimate_flow_fast(jnp.asarray(cur), jnp.asarray(prev),
+                                max_flow=6)
+    m = 16
+    ey = np.abs(np.asarray(fy)[m:-m, m:-m] - sy).mean()
+    ex = np.abs(np.asarray(fx)[m:-m, m:-m] - sx).mean()
+    assert ey < 0.5 and ex < 0.5, (ey, ex)
+
+
+def test_fast_flow_close_to_gather_flow_on_smooth_motion():
+    """On smooth sub-clamp motion the two estimators agree closely."""
+    from video3d_tpu.ops.flow import estimate_flow_fast
+
+    rng = np.random.default_rng(11)
+    h, w = 96, 128
+    base = smooth_texture(rng, h + 16, w + 16)
+    prev = base[8:8 + h, 8:8 + w]
+    cur = base[10:10 + h, 5:5 + w]  # (dy, dx) = (2, -3)
+    a_y, a_x = estimate_flow(jnp.asarray(cur), jnp.asarray(prev))
+    b_y, b_x = estimate_flow_fast(jnp.asarray(cur), jnp.asarray(prev),
+                                  max_flow=6)
+    m = 16
+    dy = np.abs(np.asarray(a_y - b_y))[m:-m, m:-m].mean()
+    dx = np.abs(np.asarray(a_x - b_x))[m:-m, m:-m].mean()
+    assert dy < 0.25 and dx < 0.25, (dy, dx)

@@ -166,6 +166,98 @@ def _resize_bl(img: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
     return resize2d(img, h, w, method="bilinear")
 
 
+def _flow_level_fast(cur: jnp.ndarray, prev: jnp.ndarray, fy: jnp.ndarray,
+                     fx: jnp.ndarray, search: int, radius: int, tau: float,
+                     warp_r: int, use_pallas: bool,
+                     interpret: bool = False) -> tuple:
+    """One refinement level, gather-free: the warp is the bounded shift
+    stack (flow clamped to ±warp_r) instead of an unbounded gather.
+
+    ``use_pallas`` routes the warp through kernels/warp.py and the
+    match+softargmin+smooth through kernels/flowmatch.py (one fused
+    kernel, zero HBM intermediates); otherwise the same math runs as
+    XLA ops (CPU tests, odd shapes). Both routes are numerically
+    equivalent up to f32 association order.
+    """
+    fy = jnp.clip(fy, -warp_r, warp_r)
+    fx = jnp.clip(fx, -warp_r, warp_r)
+    prev_w = warp_bilinear_shifts(prev, fy, fx, warp_r)
+    if use_pallas:
+        from video3d_tpu.kernels.flowmatch import flow_match_pallas
+
+        return flow_match_pallas(cur, prev_w, fy, fx, search=search,
+                                 radius=radius, tau=tau,
+                                 interpret=interpret)
+    h, w = cur.shape
+    area = window_area(h, w, radius)
+    costs = []
+    offs = []
+    for dy in range(-search, search + 1):
+        for dx in range(-search, search + 1):
+            cand = shift_edge(prev_w, dy, dx)
+            costs.append(box_sum_2d(jnp.abs(cur - cand), radius) / area)
+            offs.append((dy, dx))
+    c = jnp.stack(costs, axis=0)
+    cmin = jnp.min(c, axis=0, keepdims=True)
+    wgt = jax.nn.softmax(-(c - cmin) / tau, axis=0)
+    dys = jnp.asarray([o[0] for o in offs], jnp.float32)[:, None, None]
+    dxs = jnp.asarray([o[1] for o in offs], jnp.float32)[:, None, None]
+    ry = jnp.sum(wgt * dys, axis=0)
+    rx = jnp.sum(wgt * dxs, axis=0)
+    sarea = window_area(h, w, 2)
+    ry = box_sum_2d(ry, 2) / sarea
+    rx = box_sum_2d(rx, 2) / sarea
+    return fy + ry, fx + rx
+
+
+def estimate_flow_fast(cur: jnp.ndarray, prev: jnp.ndarray,
+                       max_flow: int, levels: int = 3, search: int = 2,
+                       radius: int = 3, tau: float = 2.0,
+                       use_pallas: bool | None = None,
+                       interpret: bool = False) -> tuple:
+    """Gather-free :func:`estimate_flow` for flow fields the caller will
+    clamp to ±``max_flow`` px anyway (the flow-EMA contract).
+
+    Identical coarse-to-fine structure, but each level's incoming flow
+    is clamped to the level-scaled bound r_lvl = ceil(max_flow / 2^lvl)
+    + search and the per-level warp is the bounded shift stack — so the
+    whole estimator runs without a single gather and every level lowers
+    to two fused Pallas kernels on TPU. Motion beyond ±max_flow
+    saturates instead of being tracked; the flow-EMA residual gate then
+    degrades those pixels to passthrough, which is the same motion-
+    masking contract the filter already documents.
+    """
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+    h, w = cur.shape[-2], cur.shape[-1]
+    sizes = [(h, w)]
+    for _ in range(levels - 1):
+        ph, pw = sizes[-1]
+        sizes.append((max(2, -(-ph // 2)), max(2, -(-pw // 2))))
+    pyr = [(cur, prev)]
+    for ph, pw in sizes[1:]:
+        c, p = pyr[-1]
+        pyr.append((_resize_bl(c, ph, pw), _resize_bl(p, ph, pw)))
+
+    ph, pw = sizes[-1]
+    fy = jnp.zeros((ph, pw), jnp.float32)
+    fx = jnp.zeros((ph, pw), jnp.float32)
+    for lvl in range(levels - 1, -1, -1):
+        c, p = pyr[lvl]
+        lh, lw = sizes[lvl]
+        if lvl < levels - 1:
+            sy = lh / sizes[lvl + 1][0]
+            sx = lw / sizes[lvl + 1][1]
+            fy = _resize_bl(fy, lh, lw) * sy
+            fx = _resize_bl(fx, lh, lw) * sx
+        r_lvl = -(-int(max_flow) // (2 ** lvl)) + search
+        iters = 2 if lvl == levels - 1 else 1
+        for _ in range(iters):
+            fy, fx = _flow_level_fast(c, p, fy, fx, search, radius, tau,
+                                      r_lvl, use_pallas, interpret)
+    return fy, fx
+
+
 def estimate_flow(cur: jnp.ndarray, prev: jnp.ndarray, levels: int = 3,
                   search: int = 2, radius: int = 3,
                   tau: float = 2.0) -> tuple:
@@ -234,7 +326,8 @@ def _ema_step(p: FlowEMAParams, carry, x):
     # clamp the flow at GUIDE scale to what the full-res warp can apply,
     # so the photometric residual gates on the warp actually used
     rq = max(1, int(round(p.max_warp / max(sy, sx))))
-    fy, fx = estimate_flow(g, prev_g, levels=p.levels, search=p.search)
+    fy, fx = estimate_flow_fast(g, prev_g, max_flow=rq, levels=p.levels,
+                                search=p.search)
     fy = jnp.clip(fy, -rq, rq)
     fx = jnp.clip(fx, -rq, rq)
     prev_g_w = warp_bilinear_shifts(prev_g, fy, fx, rq)
