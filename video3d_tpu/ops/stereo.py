@@ -604,8 +604,7 @@ def sgbm_disparity(
     -- the signal the depth stage's ``blend='confidence'`` guidance
     mixing uses.
     """
-    lf = xsobel_clip(left_gray, params.prefilter_cap)
-    rf = xsobel_clip(right_gray, params.prefilter_cap)
+    lf = rf = None
     if jax.default_backend() == "tpu":
         # TPU-fast path: D-major (B, H, D, W) layout end to end -- every
         # per-disparity slice is an (H, W)-minor plane with natural
@@ -635,13 +634,18 @@ def sgbm_disparity(
             cost_dtype = jnp.bfloat16
             raw_invalid = BIG
         if params.min_disparity == 0 and params.num_disparities % 8 == 0:
-            # fused Pallas kernel: BT cost + box window in one sweep, raw
-            # volume never materialized (~10 ms/frame saved at 1080p)
+            # fused Pallas kernel: x-Sobel prefilter + BT cost + box
+            # window in one sweep -- neither the raw volume nor the
+            # filtered pair ever materializes in HBM
             cost = fused_cost_volume(
-                lf, rf, params.num_disparities, params.block_size,
-                out_dtype=cost_dtype, raw_invalid=raw_invalid,
+                left_gray, right_gray, params.num_disparities,
+                params.block_size, out_dtype=cost_dtype,
+                raw_invalid=raw_invalid,
+                prefilter_cap=params.prefilter_cap,
             )
         else:
+            lf = xsobel_clip(left_gray, params.prefilter_cap)
+            rf = xsobel_clip(right_gray, params.prefilter_cap)
             cost = bt_cost_volume_dmajor(
                 lf, rf, params.num_disparities, params.min_disparity,
                 raw_invalid=raw_invalid,
@@ -655,6 +659,8 @@ def sgbm_disparity(
                                     return_margin=return_margin)
         disp, margin = res if return_margin else (res, None)
     else:
+        lf = xsobel_clip(left_gray, params.prefilter_cap)
+        rf = xsobel_clip(right_gray, params.prefilter_cap)
         cost = bt_cost_volume(
             lf, rf, params.num_disparities, params.min_disparity
         )
@@ -667,6 +673,8 @@ def sgbm_disparity(
     if apply_speckle and params.speckle_window_size > 0:
         disp = _speckle(disp, params)
     if return_margin:
+        if lf is None:  # fused TPU path never materialized the prefilter
+            lf = xsobel_clip(left_gray, params.prefilter_cap)
         conf = match_confidence(
             margin, texture_energy(lf, params.prefilter_cap)
         )
