@@ -251,6 +251,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "batch is SGM-pseudo-labeled footage (self-"
                         "training mix)")
     p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--save-every", type=int, default=0,
+                   help="checkpoint to --out every N steps (0 = only at "
+                        "the end); long runs survive interruption")
+    p.add_argument("--init-from", default=None,
+                   help="warm-start from an existing checkpoint directory")
     p.add_argument("--dp", action="store_true",
                    help="Data-parallel training over all visible devices "
                         "(batch sharded on a frames mesh, params/optimizer "
@@ -318,6 +323,15 @@ def main(argv=None) -> int:
 
     left, right, gt, valid = next_batch()
     params = model.init(jax.random.key(args.seed), left, right)
+    if args.init_from:
+        from video3d_tpu.models.crestereo import load_checkpoint
+
+        restored = load_checkpoint(str(Path(args.init_from).resolve()))
+        params = jax.tree.map(
+            lambda init, saved: jax.numpy.asarray(saved, init.dtype),
+            params, restored,
+        )
+        print(f"Warm-started from {args.init_from}")
     n_params = sum(x.size for x in jax.tree.leaves(params))
     print(f"CREStereo-lite: {n_params/1e6:.2f} M params, "
           f"crop {h}x{w}, batch {args.batch_size}")
@@ -342,10 +356,10 @@ def main(argv=None) -> int:
         )
         print(f"Data-parallel over {len(devs)} devices")
     # RAFT-style optimization: warmup + cosine decay, global-norm clip
+    warmup = max(1, min(500, args.steps // 10))
     sched = optax.warmup_cosine_decay_schedule(
-        init_value=0.0, peak_value=args.lr,
-        warmup_steps=max(1, min(500, args.steps // 10)),
-        decay_steps=args.steps, end_value=args.lr * 0.02,
+        init_value=0.0, peak_value=args.lr, warmup_steps=warmup,
+        decay_steps=max(args.steps, warmup + 1), end_value=args.lr * 0.02,
     )
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
     opt_state = tx.init(params)
@@ -363,6 +377,10 @@ def main(argv=None) -> int:
         if step % args.log_every == 0 or step == args.steps:
             print(f"step {step:5d}  loss {float(loss):9.4f}  "
                   f"({step / (time.time() - t0):.2f} steps/s)")
+        if args.save_every and step % args.save_every == 0 \
+                and step != args.steps:
+            save_checkpoint(str(Path(args.out).resolve()), params)
+            print(f"  [ckpt @ step {step}]", flush=True)
         left, right, gt, valid = next_batch()
 
     out = str(Path(args.out).resolve())
