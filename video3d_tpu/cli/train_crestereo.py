@@ -368,9 +368,20 @@ def main(argv=None) -> int:
             opt_state, jax.sharding.NamedSharding(mesh, P())
         )
 
+    def compact(left, right, gt, valid):
+        """Compact transfer dtypes: eyes quantize to uint8 (real video IS
+        uint8 -- training on quantized frames matches deployment), labels
+        and validity to f16 (abs precision ~0.03 px at d < 64). Cuts
+        host->device traffic 3.5x; train_step casts back to f32 on
+        device. On this dev host the relay moves ~17 MB/s, so the f32
+        batch (8 MB) was the step-rate ceiling."""
+        return (np.clip(np.round(left), 0, 255).astype(np.uint8),
+                np.clip(np.round(right), 0, 255).astype(np.uint8),
+                gt.astype(np.float16), valid.astype(np.float16))
+
     t0 = time.time()
     for step in range(1, args.steps + 1):
-        left, right, gt, valid = put_batch(left, right, gt, valid)
+        left, right, gt, valid = put_batch(*compact(left, right, gt, valid))
         params, opt_state, loss = train_step(
             model, tx, params, opt_state, left, right, gt, valid
         )

@@ -240,7 +240,16 @@ def sequence_loss(disp_seq: Sequence[jnp.ndarray], gt: jnp.ndarray,
 @partial(jax.jit, static_argnames=("model", "tx"))
 def train_step(model: CREStereoLite, tx, params, opt_state, left, right,
                gt_disp, valid):
-    """One optimizer step on a stereo batch; returns (params, opt, loss)."""
+    """One optimizer step on a stereo batch; returns (params, opt, loss).
+
+    Inputs may arrive in compact transfer dtypes (uint8 eyes, f16
+    labels/validity -- the trainer ships batches that way to cut
+    host->device traffic 3.5x); compute is f32 from here on.
+    """
+    left = left.astype(jnp.float32)
+    right = right.astype(jnp.float32)
+    gt_disp = gt_disp.astype(jnp.float32)
+    valid = valid.astype(jnp.float32)
 
     def loss_fn(p):
         seq = model.apply(p, left, right, all_iterations=True)
