@@ -28,7 +28,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch-size", type=int, default=None,
                    help="Frames per device batch (auto from memory if unset)")
     p.add_argument("--guidance", default=None,
-                   choices=["none", "dpt", "crestereo"],
+                   choices=["none", "dpt", "crestereo", "mono"],
                    help="Neural guidance backend (default: dpt unless "
                    "--stereo-only/--no-neural)")
     p.add_argument("--stereo-only", action="store_true",

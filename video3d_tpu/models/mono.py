@@ -1,0 +1,188 @@
+"""MonoDepthLite: a small first-party monocular relative-depth network.
+
+Why this exists: the reference's monocular guidance is torch
+``Intel/dpt-large`` (reference depth.py:74-82), whose checkpoint cannot
+be fetched in sandboxed/offline deployments — so the repo's full DPT
+stack (models/dpt.py: architecture, converter, safetensors loader) is
+load-ready but has never run validated weights here. This module closes
+the monocular-guidance slot the self-hosted way the stereo slot already
+is (models/crestereo.py): a compact network TRAINED IN-REPO by
+distilling the classical SGM matcher's disparities on rendered
+parallax footage (cli/train_mono.py), shipped as a checkpoint with an
+eval table. Where a real DPT checkpoint is available, --guidance dpt
+still loads it; --guidance mono needs nothing external.
+
+Honest scope note: trained on rendered scenes, its monocular cues are
+layered-occlusion structure, not real-world semantics — the eval
+(tools/eval_stereo.py --mono) reports exactly what it does and does not
+recover. It is a validated, reproducible baseline for the slot, not a
+DPT-large replacement.
+
+TPU-first design: all compute is 3x3/1x1 convs (MXU) + bilinear
+resizes expressed as matmuls (ops/image.py); one jit region; bf16
+weights by default at inference. ~1.1 M params at width 32.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+class _ConvBlock(nn.Module):
+    ch: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(self.ch, (3, 3), strides=(self.stride, self.stride),
+                    padding=1, use_bias=False)(x)
+        x = nn.GroupNorm(num_groups=8)(x)
+        return jax.nn.relu(x)
+
+
+class MonoDepthLite(nn.Module):
+    """(B, H, W, 3) RGB in [0, 255] -> (B, H, W) relative disparity.
+
+    Encoder: stem /2 then three /2 stages (widths w, 2w, 4w, 8w).
+    Decoder: bilinear x2 upsamples with skip fusion back to /2, then a
+    final x2 to full resolution. Output is non-negative (softplus) and
+    meaningful up to an affine map — exactly the contract the depth
+    stage's mono-guidance blend expects (stages/depth.py normalizes
+    guidance per frame to [0, num_disparities], mirroring the
+    reference's DPT handling at depth.py:348-363).
+    """
+
+    width: int = 32
+
+    @nn.compact
+    def __call__(self, x):
+        from video3d_tpu.ops.image import resize2d
+
+        w = self.width
+        x = x / 127.5 - 1.0
+
+        def up_to(t, like):
+            t = jnp.moveaxis(t, -1, 1)
+            t = resize2d(t, like.shape[1], like.shape[2], method="bilinear")
+            return jnp.moveaxis(t, 1, -1)
+
+        e1 = _ConvBlock(w, 2)(x)        # /2
+        e1 = _ConvBlock(w)(e1)
+        e2 = _ConvBlock(2 * w, 2)(e1)   # /4
+        e2 = _ConvBlock(2 * w)(e2)
+        e3 = _ConvBlock(4 * w, 2)(e2)   # /8
+        e3 = _ConvBlock(4 * w)(e3)
+        e4 = _ConvBlock(8 * w, 2)(e3)   # /16
+        e4 = _ConvBlock(8 * w)(e4)
+
+        d3 = _ConvBlock(4 * w)(jnp.concatenate([up_to(e4, e3), e3], -1))
+        d2 = _ConvBlock(2 * w)(jnp.concatenate([up_to(d3, e2), e2], -1))
+        d1 = _ConvBlock(w)(jnp.concatenate([up_to(d2, e1), e1], -1))
+        out = nn.Conv(1, (3, 3), padding=1)(d1)
+        out = up_to(out, x)
+        return jax.nn.softplus(out[..., 0])
+
+
+# ---------------------------------------------------------------------------
+# Loss: scale-and-shift-invariant distillation (MiDaS-style)
+# ---------------------------------------------------------------------------
+
+
+def ssi_align(pred: jnp.ndarray, target: jnp.ndarray,
+              valid: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-image least-squares (s, t) aligning pred to target on valid px.
+
+    Monocular depth is defined up to an affine map; distilling against
+    metric SGM disparities therefore aligns per image first (the same
+    reason the guidance blend min-max normalizes mono output).
+    """
+    v = valid
+    n = jnp.maximum(jnp.sum(v, axis=(-2, -1)), 1.0)
+    sp = jnp.sum(pred * v, axis=(-2, -1))
+    st = jnp.sum(target * v, axis=(-2, -1))
+    spp = jnp.sum(pred * pred * v, axis=(-2, -1))
+    spt = jnp.sum(pred * target * v, axis=(-2, -1))
+    det = n * spp - sp * sp
+    s = jnp.where(jnp.abs(det) > 1e-6, (n * spt - sp * st) / det, 1.0)
+    t = (st - s * sp) / n
+    return s[:, None, None], t[:, None, None]
+
+
+def ssi_l1_loss(pred: jnp.ndarray, target: jnp.ndarray,
+                valid: jnp.ndarray) -> jnp.ndarray:
+    s, t = ssi_align(pred, target, valid)
+    s = jax.lax.stop_gradient(s)
+    t = jax.lax.stop_gradient(t)
+    denom = jnp.maximum(jnp.sum(valid), 1.0)
+    return jnp.sum(jnp.abs(pred * s + t - target) * valid) / denom
+
+
+def smoothness_loss(pred: jnp.ndarray, rgb: jnp.ndarray) -> jnp.ndarray:
+    """Edge-aware first-order smoothness (disparity flat where image is)."""
+    gray = jnp.mean(rgb, axis=-1) / 255.0
+    dyp = jnp.abs(pred[:, 1:] - pred[:, :-1])
+    dxp = jnp.abs(pred[:, :, 1:] - pred[:, :, :-1])
+    wy = jnp.exp(-10.0 * jnp.abs(gray[:, 1:] - gray[:, :-1]))
+    wx = jnp.exp(-10.0 * jnp.abs(gray[:, :, 1:] - gray[:, :, :-1]))
+    return jnp.mean(dyp * wy) + jnp.mean(dxp * wx)
+
+
+@partial(jax.jit, static_argnames=("model", "tx"))
+def train_step(model: MonoDepthLite, tx, params, opt_state, rgb, gt_disp,
+               valid, smooth_weight: float = 0.1):
+    """One distillation step; compact transfer dtypes welcome (see
+    crestereo.train_step)."""
+    rgb = rgb.astype(jnp.float32)
+    gt_disp = gt_disp.astype(jnp.float32)
+    valid = valid.astype(jnp.float32)
+
+    def loss_fn(p):
+        pred = model.apply(p, rgb)
+        # normalize the scale-free target per image for stable alignment
+        return (ssi_l1_loss(pred, gt_disp, valid)
+                + smooth_weight * smoothness_loss(pred, rgb))
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = jax.tree.map(lambda a, u: a + u, params, updates)
+    return params, opt_state, loss
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint + guidance integration
+# ---------------------------------------------------------------------------
+
+
+def save_checkpoint(path: str, params) -> None:
+    from video3d_tpu.models.crestereo import save_checkpoint as _save
+
+    _save(path, params)
+
+
+def load_checkpoint(path: str):
+    from video3d_tpu.models.crestereo import load_checkpoint as _load
+
+    return _load(path)
+
+
+def make_mono_guidance(params_or_path, width: int = 32,
+                       dtype=jnp.bfloat16):
+    """Wrap a MonoDepthLite checkpoint as a mono guidance fn for the
+    depth stage (same GuidanceFn contract as models/dpt.py:
+    (B, H, W, 3) left RGB -> (B, H, W) relative depth)."""
+    from video3d_tpu.models.guidance import GuidanceFn
+
+    model = MonoDepthLite(width=width)
+    params = (load_checkpoint(params_or_path)
+              if isinstance(params_or_path, str) else params_or_path)
+    params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
+
+    def apply_fn(p, left_rgb: jnp.ndarray) -> jnp.ndarray:
+        return model.apply(p, left_rgb.astype(dtype)).astype(jnp.float32)
+
+    return GuidanceFn(apply_fn, params)

@@ -207,6 +207,9 @@ class StereoDepthExtractor:
         if guidance == "crestereo" and model_checkpoint == "Intel/dpt-large":
             bundled = Path(__file__).resolve().parents[2] / "crestereo_ckpt"
             model_checkpoint = str(bundled)
+        if guidance == "mono" and model_checkpoint == "Intel/dpt-large":
+            bundled = Path(__file__).resolve().parents[2] / "mono_ckpt"
+            model_checkpoint = str(bundled)
         self.model_checkpoint = model_checkpoint if guidance != "none" else "stereo_only"
         self.unsqueeze_anamorphic = bool(unsqueeze_anamorphic)
         self.normalize = normalize
@@ -253,6 +256,12 @@ class StereoDepthExtractor:
                 )
 
                 self._guidance_fn = load_crestereo_guidance(
+                    self.model_checkpoint
+                )
+            elif self.guidance == "mono":
+                from video3d_tpu.models.mono import make_mono_guidance
+
+                self._guidance_fn = make_mono_guidance(
                     self.model_checkpoint
                 )
             else:
