@@ -168,6 +168,8 @@ def compute_preds(left, right, args, params, cre_fn):
         # blend='confidence' -- texture-gated uniqueness margin)
         conf = np.where(sgm != invalid, np.asarray(conf_j), 0.0)
         preds["hybrid_conf"] = conf * np.maximum(sgm, 0.0) + (1 - conf) * cre
+    preds["_conf"] = np.where(preds["sgm"] != invalid, np.asarray(conf_j),
+                              0.0)
 
     if args.cv2:
         try:
@@ -194,13 +196,37 @@ def compute_preds(left, right, args, params, cre_fn):
     return preds, gl
 
 
-def evaluate_set(name, left, right, gt, args, params, cre_fn):
+def evaluate_set(name, left, right, gt, args, params, cre_fn,
+                 mono_fn=None):
     invalid = float(params.min_disparity - 1)
     preds, gl = compute_preds(left, right, args, params, cre_fn)
+    if mono_fn is not None:
+        import jax.numpy as jnp
+
+        from video3d_tpu.models.mono import ssi_align
+
+        raw = np.asarray(mono_fn(jnp.asarray(left)))
+        vall = np.ones_like(gt)
+        # MiDaS protocol: mono depth is affine-free; align to GT per
+        # image before metrics (upper bound of the guidance signal)
+        s, t = ssi_align(jnp.asarray(raw), jnp.asarray(gt),
+                         jnp.asarray(vall))
+        preds["mono_ssi"] = raw * np.asarray(s) + np.asarray(t)
+        # shipped pipeline behavior: min-max normalize to [0, D] and
+        # confidence-blend with SGM (stages/depth.py mono contract)
+        mn = raw.min(axis=(1, 2), keepdims=True)
+        mx = raw.max(axis=(1, 2), keepdims=True)
+        guide = (raw - mn) / np.maximum(mx - mn, 1e-6) * args.max_disparity
+        sgm = preds["sgm"]
+        conf = np.where(sgm != invalid, preds.pop("_conf"), 0.0) \
+            if "_conf" in preds else np.where(sgm != invalid, 0.7, 0.0)
+        preds["hybrid_conf_mono"] = (conf * np.maximum(sgm, 0.0)
+                                     + (1 - conf) * guide)
     lowtex = low_texture_mask(gl)
     print(f"\n[{name}] {left.shape[0]} scenes "
           f"{left.shape[1]}x{left.shape[2]}, "
           f"low-texture fraction {lowtex.mean():.2f}")
+    preds.pop("_conf", None)
     table = {}
     for mname, pred in preds.items():
         table[mname] = {
@@ -289,6 +315,9 @@ def main() -> None:
     ap.add_argument("--out", default="eval_stereo.json")
     ap.add_argument("--cv2", action="store_true",
                     help="Also evaluate OpenCV StereoSGBM")
+    ap.add_argument("--mono", default=None,
+                    help="MonoDepthLite checkpoint dir (adds mono_ssi + "
+                         "hybrid_conf_mono rows)")
     ap.add_argument("--no-ood", action="store_true",
                     help="Skip the out-of-distribution set")
     ap.add_argument("--no-clip", action="store_true",
@@ -307,13 +336,18 @@ def main() -> None:
         cre_fn = load_crestereo_guidance(os.path.abspath(args.ckpt))
     else:
         print("no CREStereo checkpoint -- evaluating SGM only")
+    mono_fn = None
+    if args.mono and os.path.isdir(args.mono):
+        from video3d_tpu.models.mono import make_mono_guidance
+
+        mono_fn = make_mono_guidance(os.path.abspath(args.mono))
 
     rng = np.random.default_rng(args.seed)
     left, right, gt, _ = synthetic_batch(
         rng, args.scenes, args.h, args.w, args.max_disparity
     )
     table, ltf = evaluate_set("in-dist", left, right, gt, args, params,
-                              cre_fn)
+                              cre_fn, mono_fn)
     result = {
         "config": {
             "scenes": args.scenes, "h": args.h, "w": args.w,
@@ -327,7 +361,7 @@ def main() -> None:
         lo, ro, go = ood_batch(rng_o, args.scenes, args.h, args.w,
                                args.max_disparity)
         ood_table, ood_ltf = evaluate_set("OOD", lo, ro, go, args, params,
-                                          cre_fn)
+                                          cre_fn, mono_fn)
         result["ood_metrics"] = ood_table
         result["ood_low_texture_fraction"] = ood_ltf
     if not args.no_clip:
