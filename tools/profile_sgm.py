@@ -120,6 +120,13 @@ def main() -> None:
                 a, bb, d, p.block_size, out_dtype=cost_dtype,
                 raw_invalid=raw_invalid),
             (gl, gr), 2 * h * w * 4 + vol * cb),
+        # production path: raw gray in, x-Sobel prefilter fused into the
+        # same sweep (replaces xsobel x2 + costvol_fused + 4 HBM trips)
+        "costvol_fused_sobel": (
+            lambda a, bb: fused_cost_volume(
+                a, bb, d, p.block_size, out_dtype=cost_dtype,
+                raw_invalid=raw_invalid, prefilter_cap=p.prefilter_cap),
+            (gl, gr), 2 * h * w * 4 + vol * cb),
         "transpose_cost": (lambda c: jnp.swapaxes(c, 1, 3), (cost,),
                            2 * vol * cb),
         "h_fwd_pass": (
