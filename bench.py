@@ -154,6 +154,27 @@ def bench_hybrid():
          note="random-init DPT-large weights; checkpoint not fetchable")
 
 
+def bench_smooth():
+    """(8) flow-guided temporal EMA smoother, standalone at 1080p."""
+    from video3d_tpu.ops.flow import FlowEMAParams, flow_ema_scan
+
+    t = 8
+    rng = np.random.default_rng(2)
+    # integer dtypes: chain_loop's dependency xor needs them; the scan
+    # casts to f32 on device
+    depth = rng.integers(0, 65535, (t, 1080, 1920)).astype(np.uint16)
+    guide = rng.integers(0, 255, (t, 270, 480)).astype(np.uint8)
+    fp = FlowEMAParams()
+
+    def fn(d, g):
+        return flow_ema_scan(None, d, g, fp)[1]
+
+    n_iters = 4
+    dt = chain_loop(fn, depth, n_iters, extras=(guide,))
+    emit("flow_ema_1080p_fps_per_chip", t * n_iters / dt, "frames/sec",
+         note="fused Pallas matcher+warp kernels (kernels/flowmatch.py)")
+
+
 def bench_depth(e2e_row=None):
     """(2) SGBM-only stereo depth, SBS 1080p -- the HEADLINE metric."""
     from video3d_tpu.ops.stereo import SGBMParams
@@ -400,7 +421,8 @@ def bench_fused():
 
 def main() -> None:
     want = os.environ.get(
-        "VIDEO3D_BENCH_CONFIGS", "align,depth,upscale,hybrid,e2e,encode,fused"
+        "VIDEO3D_BENCH_CONFIGS",
+        "align,depth,upscale,hybrid,e2e,encode,fused,smooth"
     ).split(",")
     e2e_row = None
     if "align" in want:
@@ -415,6 +437,8 @@ def main() -> None:
         bench_encode()
     if "fused" in want:
         bench_fused()
+    if "smooth" in want:
+        bench_smooth()
     if "depth" in want:
         # headline; printed last, annotated with the e2e projection so
         # the driver's single recorded line carries both signals
@@ -465,6 +489,7 @@ def main() -> None:
         "encode_4k_fps_segment_parallel", "e2e_slice_seconds",
         "e2e_film_projection_minutes_v5e8", "fused_slice_seconds",
         "e2e_film_projection_minutes_v5e8_fused_measured",
+        "flow_ema_1080p_fps_per_chip",
         "sbs1080p_depth_fps_per_chip",
         "e2e_film_projection_minutes_v5e8_compute",
     ]
