@@ -282,3 +282,24 @@ def test_fused_prefilter_bit_exact(h, w, nd, dtype):
                             raw_invalid=inv, interpret=True,
                             prefilter_cap=63)
     assert (np.asarray(want) == np.asarray(got)).all()
+
+
+def test_fused_prefilter_filtered_left_output():
+    """return_filtered_left emits exactly xsobel_clip(left) as uint8."""
+    from video3d_tpu.kernels.costvol import fused_cost_volume
+
+    r = np.random.default_rng(6)
+    h, w, nd = 16, 128, 8
+    raw_l = jnp.asarray(r.uniform(0, 255, (2, h, w)).astype(np.float32))
+    raw_r = jnp.asarray(r.uniform(0, 255, (2, h, w)).astype(np.float32))
+    want_cost = fused_cost_volume(
+        xsobel_clip(raw_l, 63), xsobel_clip(raw_r, 63), nd, 5,
+        out_dtype=jnp.int16, raw_invalid=126.0, interpret=True)
+    cost, lf = fused_cost_volume(
+        raw_l, raw_r, nd, 5, out_dtype=jnp.int16, raw_invalid=126.0,
+        interpret=True, prefilter_cap=63, return_filtered_left=True)
+    assert lf.dtype == jnp.int16 and lf.shape == (2, h, w)
+    np.testing.assert_array_equal(
+        np.asarray(lf).astype(np.float32),
+        np.asarray(xsobel_clip(raw_l, 63)))
+    assert (np.asarray(cost) == np.asarray(want_cost)).all()

@@ -73,6 +73,8 @@ def _cost_kernel(
     stage_ref,
     dl_ref,
     dr_ref,
+    lf_out_ref,
+    lf_stage_ref,
     *,
     num_disp: int,
     pad: int,
@@ -82,6 +84,13 @@ def _cost_kernel(
     cap,
 ):
     """Blocks: left/right (BB, RPS, 1, W); out (BB, RPS, D, W).
+
+    ``lf_out_ref`` (optional, (BB, RPS, 1, W) int16): the in-stream
+    prefiltered LEFT rows, emitted with their own lag-1 staging -- the
+    confidence-blend path consumes them (texture energy) without a
+    second full-resolution prefilter pass. Values are exact integers in
+    [0, 2*cap], so int16 is lossless (Mosaic cannot cast f32->uint8
+    in-kernel).
 
     Grid step s reads input rows [s*rps, s*rps + rps) and emits the out
     block s-1 (aggregated rows lag the inputs by ``lag``): with
@@ -103,8 +112,10 @@ def _cost_kernel(
         ring_ref[...] = jnp.zeros_like(ring_ref)
         vsum_ref[...] = jnp.zeros_like(vsum_ref)
 
-    # seed the out block with the rows staged during the previous step
+    # seed the out block(s) with the rows staged during the previous step
     out_ref[...] = stage_ref[...]
+    if lf_out_ref is not None:
+        lf_out_ref[...] = lf_stage_ref[...]
 
     # native-int16 arithmetic is bit-exact (see _cost_row_step_i16) but
     # requires 16-bit lane rotates, which current Mosaic cannot lower
@@ -145,6 +156,17 @@ def _cost_kernel(
 
             lf = filt(dl_ref, dl_new)
             rf = filt(dr_ref, dr_new)
+            if lf_out_ref is not None:
+                lf8 = lf.astype(jnp.int16)
+
+                @pl.when(y >= 1)
+                def _():
+                    # lag-1 staging: row y-1; i==0 belongs to block s-1
+                    if i == 0:
+                        lf_out_ref[:, rps - 1] = lf8
+                    else:
+                        lf_stage_ref[:, i - 1] = lf8
+
             dl_ref[0] = dl_ref[1]
             dl_ref[1] = dl_new
             dr_ref[0] = dr_ref[1]
@@ -378,7 +400,8 @@ def fused_cost_volume(
     raw_invalid: float = BIG,
     interpret: bool = False,
     prefilter_cap=None,
-) -> jnp.ndarray:
+    return_filtered_left: bool = False,
+):
     """(B, H, W) f32 pair -> (B, H, D, W) box-aggregated BT cost volume.
 
     ``raw_invalid`` is the per-pixel cost charged where the match would
@@ -393,7 +416,13 @@ def fused_cost_volume(
     inside the kernel's row stream -- bit-identical output, one less
     pipeline stage and no filtered-pair HBM round-trip (~2 ms/frame at
     1080p: the standalone prefilter ran at 16 GB/s on both eyes).
+
+    ``return_filtered_left`` (requires ``prefilter_cap``): also emit the
+    prefiltered left view as a lossless int16 (B, H, W) second output
+    (values are exact integers <= 2*cap) for the confidence-blend
+    texture gate -- returns ``(cost, lf)``.
     """
+    assert not return_filtered_left or prefilter_cap is not None
     b, h, w = left_gray.shape
     pad = block_size // 2
     out_bytes = jnp.dtype(out_dtype).itemsize
@@ -450,25 +479,58 @@ def fused_cost_volume(
     out_spec = pl.BlockSpec(
         (bb, rps, num_disp, w), out_map, memory_space=pltpu.VMEM
     )
-    kernel = functools.partial(
-        _cost_kernel, num_disp=num_disp, pad=pad, h=h, rps=rps,
-        raw_invalid=float(raw_invalid),
-        cap=None if prefilter_cap is None else float(prefilter_cap),
-    )
+    scratch = [
+        pltpu.VMEM((2 * pad + 1, bb, num_disp, w),
+                   jnp.int16 if integer else jnp.float32),
+        pltpu.VMEM((bb, num_disp, w),
+                   jnp.int16 if integer else jnp.float32),
+        pltpu.VMEM((bb, rps, num_disp, w), out_dtype),
+        pltpu.VMEM((2, bb, 1, w), jnp.float32),  # dl ring
+        pltpu.VMEM((2, bb, 1, w), jnp.float32),  # dr ring
+    ]
+    if return_filtered_left:
+        scratch.append(pltpu.VMEM((bb, rps, 1, w), jnp.int16))
+
+        def kernel(l_ref, r_ref, o_ref, lf_ref, ring, vsum, stage, dl, dr,
+                   lf_stage):
+            _cost_kernel(
+                l_ref, r_ref, o_ref, ring, vsum, stage, dl, dr,
+                lf_ref, lf_stage,
+                num_disp=num_disp, pad=pad, h=h, rps=rps,
+                raw_invalid=float(raw_invalid),
+                cap=float(prefilter_cap),
+            )
+
+        lf_spec = pl.BlockSpec((bb, rps, 1, w), out_map,
+                               memory_space=pltpu.VMEM)
+        cost, lf = pl.pallas_call(
+            kernel,
+            grid=(b // bb, steps),
+            in_specs=[gray_spec, gray_spec],
+            out_specs=(out_spec, lf_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, h, num_disp, w), out_dtype),
+                jax.ShapeDtypeStruct((b, h, 1, w), jnp.int16),
+            ),
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(left_gray, right_gray)
+        return cost, lf[:, :, 0, :]
+
+    def kernel(l_ref, r_ref, o_ref, ring, vsum, stage, dl, dr):
+        _cost_kernel(
+            l_ref, r_ref, o_ref, ring, vsum, stage, dl, dr, None, None,
+            num_disp=num_disp, pad=pad, h=h, rps=rps,
+            raw_invalid=float(raw_invalid),
+            cap=None if prefilter_cap is None else float(prefilter_cap),
+        )
+
     return pl.pallas_call(
         kernel,
         grid=(b // bb, steps),
         in_specs=[gray_spec, gray_spec],
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((b, h, num_disp, w), out_dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2 * pad + 1, bb, num_disp, w),
-                       jnp.int16 if integer else jnp.float32),
-            pltpu.VMEM((bb, num_disp, w),
-                       jnp.int16 if integer else jnp.float32),
-            pltpu.VMEM((bb, rps, num_disp, w), out_dtype),
-            pltpu.VMEM((2, bb, 1, w), jnp.float32),  # dl ring
-            pltpu.VMEM((2, bb, 1, w), jnp.float32),  # dr ring
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(left_gray, right_gray)

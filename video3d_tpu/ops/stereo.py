@@ -636,13 +636,22 @@ def sgbm_disparity(
         if params.min_disparity == 0 and params.num_disparities % 8 == 0:
             # fused Pallas kernel: x-Sobel prefilter + BT cost + box
             # window in one sweep -- neither the raw volume nor the
-            # filtered pair ever materializes in HBM
-            cost = fused_cost_volume(
+            # filtered pair ever materializes in HBM. The confidence
+            # path additionally gets the prefiltered left view as a
+            # lossless uint8 second output (texture gate) instead of a
+            # second full-resolution prefilter pass.
+            res = fused_cost_volume(
                 left_gray, right_gray, params.num_disparities,
                 params.block_size, out_dtype=cost_dtype,
                 raw_invalid=raw_invalid,
                 prefilter_cap=params.prefilter_cap,
+                return_filtered_left=return_margin,
             )
+            if return_margin:
+                cost, lf = res
+                lf = lf.astype(jnp.float32)
+            else:
+                cost = res
         else:
             lf = xsobel_clip(left_gray, params.prefilter_cap)
             rf = xsobel_clip(right_gray, params.prefilter_cap)
@@ -673,7 +682,7 @@ def sgbm_disparity(
     if apply_speckle and params.speckle_window_size > 0:
         disp = _speckle(disp, params)
     if return_margin:
-        if lf is None:  # fused TPU path never materialized the prefilter
+        if lf is None:  # non-fused paths never materialized the prefilter
             lf = xsobel_clip(left_gray, params.prefilter_cap)
         conf = match_confidence(
             margin, texture_energy(lf, params.prefilter_cap)
