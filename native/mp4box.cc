@@ -18,6 +18,7 @@
 // Exposed C API (ctypes, see video3d_tpu/core/_native.py):
 //   v3d_mp4_cut(in, out, start_s, dur_s, err, errlen) -> 0 ok, -1 error
 
+#include <algorithm>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -1217,4 +1218,191 @@ extern "C" int v3d_mp4_concat(const char* const* in_paths, int n_in,
     return -1;
   }
   return 0;
+}
+
+// ---------------------------------------------------------------------------
+// PCM audio track extraction (ffmpeg-less alignment support)
+//
+// Real containers usually carry AAC, which still needs ffmpeg; but
+// uncompressed tracks (QuickTime 'sowt'/'twos'/'raw '/'lpcm'-v0 and
+// ISO-BMFF 'ipcm') decode trivially: the sample bytes ARE the PCM. This
+// closes the ffmpeg dependency for alignment on such files (reference
+// always shells out to ffmpeg, utils.py:41-120). Output: 16-bit LE WAV.
+
+namespace {
+
+bool write_wav_header(FILE* out, uint32_t data_bytes, uint32_t rate,
+                      uint16_t channels) {
+  std::vector<uint8_t> h;
+  wrtype(h, "RIFF");
+  wr32(h, 0);  // placeholder, patched little-endian below
+  wrtype(h, "WAVE");
+  wrtype(h, "fmt ");
+  // little-endian fields: write manually
+  auto le16 = [&](uint16_t x) {
+    h.push_back(uint8_t(x & 0xff));
+    h.push_back(uint8_t(x >> 8));
+  };
+  auto le32 = [&](uint32_t x) {
+    for (int i = 0; i < 4; i++) h.push_back(uint8_t((x >> (8 * i)) & 0xff));
+  };
+  le32(16);
+  le16(1);  // PCM
+  le16(channels);
+  le32(rate);
+  le32(rate * channels * 2);
+  le16(uint16_t(channels * 2));
+  le16(16);
+  wrtype(h, "data");
+  le32(data_bytes);
+  // patch RIFF size (little-endian)
+  uint32_t riff = 36 + data_bytes;
+  for (int i = 0; i < 4; i++) h[4 + i] = uint8_t((riff >> (8 * i)) & 0xff);
+  return fwrite(h.data(), 1, h.size(), out) == h.size();
+}
+
+}  // namespace
+
+extern "C" int v3d_mp4_extract_pcm(const char* in_path, const char* out_path,
+                                   char* errbuf, int errlen) {
+  Err err{errbuf, errlen};
+  FILE* f = fopen(in_path, "rb");
+  if (!f) {
+    err.set(std::string("cannot open ") + in_path);
+    return -1;
+  }
+  std::vector<uint8_t> moov_raw;
+  {
+    uint8_t hdr[16];
+    uint64_t off = 0;
+    for (;;) {
+      if (seek64(f, off) != 0) break;
+      if (fread(hdr, 1, 8, f) != 8) break;
+      uint64_t size = rd32(hdr);
+      uint32_t type = rd32(hdr + 4);
+      size_t h = 8;
+      if (size == 1) {
+        if (fread(hdr + 8, 1, 8, f) != 8) break;
+        size = rd64(hdr + 8);
+        h = 16;
+      } else if (size == 0) {
+        fseek(f, 0, SEEK_END);
+        size = uint64_t(tell64(f)) - off;
+      }
+      if (size < h) break;
+      if (type == fourcc("moov")) {
+        moov_raw.resize(size_t(size - h));
+        if (seek64(f, off + h) != 0 ||
+            fread(moov_raw.data(), 1, moov_raw.size(), f) !=
+                moov_raw.size()) {
+          err.set("cannot read moov");
+          fclose(f);
+          return -1;
+        }
+      }
+      off += size;
+    }
+  }
+  if (moov_raw.empty()) {
+    err.set("no moov box (fragmented mp4?)");
+    fclose(f);
+    return -1;
+  }
+  std::vector<Box> moov;
+  if (!parse_children(moov_raw.data(), moov_raw.size(), moov, err, 0)) {
+    fclose(f);
+    return -1;
+  }
+
+  for (Box& top : moov) {
+    if (top.type != fourcc("trak")) continue;
+    SampleTable st;
+    if (!expand_tables(top, st, err)) {
+      fclose(f);
+      return -1;
+    }
+    if (st.video || st.size.empty()) continue;
+    Box* mdia = find_child(top, "mdia");
+    Box* minf = mdia ? find_child(*mdia, "minf") : nullptr;
+    Box* stbl = minf ? find_child(*minf, "stbl") : nullptr;
+    Box* stsd = stbl ? find_child(*stbl, "stsd") : nullptr;
+    if (!stsd || stsd->payload.size() < 16 + 28) continue;
+    const uint8_t* e = stsd->payload.data() + 8;  // first sample entry
+    size_t elen = stsd->payload.size() - 8;
+    uint32_t codec = rd32(e + 4);
+    bool sowt = codec == fourcc("sowt") || codec == fourcc("ipcm");
+    bool twos = codec == fourcc("twos") || codec == fourcc("lpcm");
+    bool raw8 = codec == fourcc("raw ");
+    if (!sowt && !twos && !raw8) continue;  // compressed: not our job
+    if (elen < 36) continue;
+    uint16_t channels = uint16_t((e[24] << 8) | e[25]);
+    uint16_t bits = uint16_t((e[26] << 8) | e[27]);
+    uint32_t rate = rd32(e + 32) >> 16;  // 16.16 fixed
+    if (rate == 0) rate = st.timescale;
+    if (channels == 0 || channels > 8) continue;
+    if (bits != 16 && bits != 8) continue;
+    if (raw8 && bits != 8) continue;
+
+    FILE* out = fopen(out_path, "wb");
+    if (!out) {
+      err.set(std::string("cannot open ") + out_path);
+      fclose(f);
+      return -1;
+    }
+    uint64_t total_in = 0;
+    for (uint32_t s : st.size) total_in += s;
+    uint64_t out_bytes = (bits == 8) ? total_in * 2 : total_in;
+    if (out_bytes > 0xffffffffull - 44) out_bytes = 0xffffffffull - 44;
+    if (!write_wav_header(out, uint32_t(out_bytes), rate, channels)) {
+      err.set("wav header write failed");
+      fclose(out);
+      fclose(f);
+      return -1;
+    }
+    std::vector<uint8_t> buf;
+    uint64_t written = 0;
+    for (size_t i = 0; i < st.size.size() && written < out_bytes; i++) {
+      buf.resize(st.size[i]);
+      if (seek64(f, st.offset[i]) != 0 ||
+          fread(buf.data(), 1, buf.size(), f) != buf.size()) {
+        err.set("sample read failed");
+        fclose(out);
+        fclose(f);
+        return -1;
+      }
+      std::vector<uint8_t> conv;
+      const std::vector<uint8_t>* w = &buf;
+      if (bits == 16 && twos) {  // big-endian/lpcm-BE -> LE
+        conv.resize(buf.size());
+        for (size_t k = 0; k + 1 < buf.size(); k += 2) {
+          conv[k] = buf[k + 1];
+          conv[k + 1] = buf[k];
+        }
+        w = &conv;
+      } else if (bits == 8) {  // widen to 16-bit LE
+        conv.resize(buf.size() * 2);
+        for (size_t k = 0; k < buf.size(); k++) {
+          // 'raw ' is unsigned 8-bit; 'twos' 8-bit is signed
+          int v = raw8 ? (int(buf[k]) - 128) << 8 : int(int8_t(buf[k])) << 8;
+          conv[2 * k] = uint8_t(uint16_t(v) & 0xff);
+          conv[2 * k + 1] = uint8_t(uint16_t(v) >> 8);
+        }
+        w = &conv;
+      }
+      size_t n = size_t(std::min<uint64_t>(w->size(), out_bytes - written));
+      if (fwrite(w->data(), 1, n, out) != n) {
+        err.set("wav write failed");
+        fclose(out);
+        fclose(f);
+        return -1;
+      }
+      written += n;
+    }
+    fclose(out);
+    fclose(f);
+    return 0;
+  }
+  err.set("no uncompressed PCM audio track (AAC et al. need ffmpeg)");
+  fclose(f);
+  return -2;
 }

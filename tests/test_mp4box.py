@@ -196,3 +196,89 @@ def test_segment_parallel_writer(tmp_path):
         for d, f in zip(decoded, frames)
     ])
     assert diff < 8.0  # lossy codec tolerance
+
+
+# ---------------------------------------------------------------------------
+# PCM audio track extraction (ffmpeg-less alignment)
+
+
+def _minimal_pcm_mp4(path, pcm_bytes, codec=b"sowt", rate=8000, channels=1,
+                     bits=16):
+    """Hand-built minimal MP4 with one uncompressed audio track."""
+    import struct
+
+    def box(t, payload):
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    entry = (struct.pack(">I", 36) + codec + b"\x00" * 6 +
+             struct.pack(">H", 1) + b"\x00" * 8 +
+             struct.pack(">HH", channels, bits) + b"\x00" * 4 +
+             struct.pack(">I", rate << 16))
+    stsd = box(b"stsd", struct.pack(">II", 0, 1) + entry)
+    n = len(pcm_bytes)
+    stts = box(b"stts", struct.pack(">IIII", 0, 1, 1, n))
+    stsc = box(b"stsc", struct.pack(">IIIII", 0, 1, 1, 1, 1))
+    stsz = box(b"stsz", struct.pack(">IIII", 0, 0, 1, n))
+    mdhd = box(b"mdhd", struct.pack(">IIIIIHH", 0, 0, 0, rate, n, 0, 0))
+    hdlr = box(b"hdlr", struct.pack(">II", 0, 0) + b"soun" + b"\x00" * 14)
+
+    def make(stco_off):
+        stco = box(b"stco", struct.pack(">III", 0, 1, stco_off))
+        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        trak = box(b"trak", mdia)
+        moov = box(b"moov", trak)
+        return moov
+
+    moov = make(0)
+    data_off = len(moov) + 8  # mdat payload position
+    moov = make(data_off)
+    with open(path, "wb") as f:
+        f.write(moov)
+        f.write(box(b"mdat", pcm_bytes))
+
+
+@pytest.mark.parametrize("codec", [b"sowt", b"twos"])
+def test_extract_pcm_wav_roundtrip(tmp_path, codec):
+    from video3d_tpu.core import _native
+    from video3d_tpu.core.audio import read_wav
+
+    if _native.lib() is None or not hasattr(_native.lib(),
+                                            "v3d_mp4_extract_pcm"):
+        pytest.skip("native library not built")
+    rng = np.random.default_rng(0)
+    samples = (rng.uniform(-0.5, 0.5, 4000) * 32767).astype("<i2")
+    raw = samples.tobytes()
+    if codec == b"twos":  # big-endian samples in the container
+        raw = samples.astype(">i2").tobytes()
+    mp4 = tmp_path / "a.mp4"
+    _minimal_pcm_mp4(str(mp4), raw, codec=codec)
+    out = tmp_path / "a.wav"
+    err = _native.extract_pcm_wav(str(mp4), str(out))
+    assert err is None, err
+    audio, sr = read_wav(out)
+    assert sr == 8000 and len(audio) == 4000
+    np.testing.assert_allclose(audio, samples.astype(np.float32) / 32768.0,
+                               atol=1e-4)
+
+
+def test_extract_audio_uses_native_pcm_without_ffmpeg(tmp_path, monkeypatch):
+    """extract_audio on an MP4 with a PCM track works with no ffmpeg."""
+    import shutil as _sh
+
+    from video3d_tpu.core import _native
+    from video3d_tpu.core.audio import extract_audio, read_wav
+
+    if _native.lib() is None or not hasattr(_native.lib(),
+                                            "v3d_mp4_extract_pcm"):
+        pytest.skip("native library not built")
+    monkeypatch.setattr(_sh, "which", lambda name: None)
+    rng = np.random.default_rng(1)
+    samples = (rng.uniform(-0.5, 0.5, 16000) * 32767).astype("<i2")
+    mp4 = tmp_path / "clip.mp4"
+    _minimal_pcm_mp4(str(mp4), samples.tobytes(), rate=16000)
+    wav = extract_audio(str(mp4), tmp_path / "work", duration=1.0,
+                        sample_rate=8000)
+    audio, sr = read_wav(wav)
+    assert sr == 8000 and 7800 <= len(audio) <= 8000

@@ -89,6 +89,11 @@ def lib() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
             ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
         ]
+    if hasattr(l, "v3d_mp4_extract_pcm"):
+        l.v3d_mp4_extract_pcm.restype = ctypes.c_int
+        l.v3d_mp4_extract_pcm.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+        ]
     _lib = l
     return _lib
 
@@ -198,3 +203,22 @@ def encode_batch_to_files(
         batch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
         n, h, w, zlevel, joined,
     )
+
+
+def extract_pcm_wav(in_path: str, out_path: str) -> Optional[str]:
+    """Extract an uncompressed PCM audio track from an MP4/MOV to WAV.
+
+    Decodes nothing: QuickTime 'sowt'/'twos'/'raw '/'lpcm'-v0 and
+    ISO-BMFF 'ipcm' sample bytes ARE the PCM, so alignment works without
+    ffmpeg on such files. Returns None on success, an error string
+    otherwise ("no uncompressed PCM audio track..." for AAC et al.).
+    """
+    l = lib()
+    if l is None or not hasattr(l, "v3d_mp4_extract_pcm"):
+        return "native library unavailable"
+    err = ctypes.create_string_buffer(512)
+    rc = l.v3d_mp4_extract_pcm(str(in_path).encode(),
+                               str(out_path).encode(), err, len(err))
+    if rc != 0:
+        return err.value.decode(errors="replace") or "pcm extract failed"
+    return None

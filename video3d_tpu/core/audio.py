@@ -132,11 +132,27 @@ def extract_audio(
         audio = audio[: int(duration * sample_rate)]
         write_wav(out_path, audio, sample_rate)
     else:
-        raise RuntimeError(
-            "No ffmpeg binary found and input is not a WAV file; cannot "
-            f"extract audio from container: {video_path}. Provide a .wav "
-            "sidecar or install ffmpeg."
-        )
+        # ffmpeg-less container path: uncompressed PCM tracks (sowt/
+        # twos/raw/lpcm/ipcm) need no decoder -- the native remuxer
+        # pulls the sample bytes straight into a WAV. Compressed audio
+        # (AAC et al.) still needs ffmpeg.
+        from video3d_tpu.core import _native
+
+        tmp = out_path.with_suffix(".pcm_full.wav")
+        nerr = _native.extract_pcm_wav(str(video), str(tmp))
+        if nerr is None:
+            audio, sr = read_wav(tmp)
+            tmp.unlink(missing_ok=True)
+            audio = resample_linear(audio, sr, sample_rate)
+            audio = audio[: int(duration * sample_rate)]
+            write_wav(out_path, audio, sample_rate)
+        else:
+            raise RuntimeError(
+                "No ffmpeg binary found and input is not a WAV file; "
+                f"native PCM extraction: {nerr}; cannot extract audio "
+                f"from container: {video_path}. Provide a .wav sidecar "
+                "or install ffmpeg."
+            )
 
     if out_path.stat().st_size < 1000:  # reference utils.py:115-116
         raise RuntimeError(f"Extracted audio suspiciously small: {out_path}")
