@@ -23,7 +23,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Process only the first N frames (run_pipeline.py:139)")
     p.add_argument("--force", action="store_true",
                    help="Recompute cached artifacts")
-    p.add_argument("--guidance", choices=["none", "dpt", "crestereo"],
+    p.add_argument("--guidance", choices=["none", "dpt", "crestereo", "mono"],
                    default="none",
                    help="Neural guidance backend for the depth stage")
     p.add_argument("--upscale-method", choices=["guided", "scale"],

@@ -56,7 +56,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--work-dir", default="temp_depth_server",
                    help="Default work dir for jobs that don't set one")
     p.add_argument("--batch-size", type=int, default=None)
-    p.add_argument("--guidance", choices=["none", "dpt", "crestereo"],
+    p.add_argument("--guidance", choices=["none", "dpt", "crestereo", "mono"],
                    default="none")
     p.add_argument("--model", default="Intel/dpt-large")
     p.add_argument("--no-unsqueeze", action="store_true")
