@@ -43,6 +43,11 @@ from video3d_tpu.ops.boxsum import box_sum_2d, window_area
 
 def shift_edge(img: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     """out[..., y, x] = img[..., y+dy, x+dx], edge-replicated (static)."""
+    # A shift past the axis length is all edge rows/cols: clamp so the
+    # slice+repeat construction below keeps the output shape (happens at
+    # the coarsest pyramid levels of tiny guides, where warp_r > h).
+    dy = max(-img.shape[-2], min(dy, img.shape[-2]))
+    dx = max(-img.shape[-1], min(dx, img.shape[-1]))
     if dy:
         if dy > 0:
             img = jnp.concatenate(
