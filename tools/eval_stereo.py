@@ -212,14 +212,24 @@ def evaluate_set(name, left, right, gt, args, params, cre_fn,
         s, t = ssi_align(jnp.asarray(raw), jnp.asarray(gt),
                          jnp.asarray(vall))
         preds["mono_ssi"] = raw * np.asarray(s) + np.asarray(t)
-        # shipped pipeline behavior: min-max normalize to [0, D] and
-        # confidence-blend with SGM (stages/depth.py mono contract)
+        # shipped pipeline behavior (stages/depth.py mono contract):
+        # confidence-weighted SSI alignment of mono onto the confident
+        # SGM disparities, min-max fallback when the fit degenerates,
+        # then the confidence blend
         mn = raw.min(axis=(1, 2), keepdims=True)
         mx = raw.max(axis=(1, 2), keepdims=True)
-        guide = (raw - mn) / np.maximum(mx - mn, 1e-6) * args.max_disparity
+        guide_mm = ((raw - mn) / np.maximum(mx - mn, 1e-6)
+                    * args.max_disparity)
         sgm = preds["sgm"]
         conf = np.where(sgm != invalid, preds.pop("_conf"), 0.0) \
             if "_conf" in preds else np.where(sgm != invalid, 0.7, 0.0)
+        s, t = ssi_align(jnp.asarray(raw),
+                         jnp.asarray(np.maximum(sgm, 0.0)),
+                         jnp.asarray(conf))
+        s, t = np.asarray(s), np.asarray(t)
+        guide = np.where(s > 0.0,
+                         np.clip(raw * s + t, 0.0, args.max_disparity),
+                         guide_mm)
         preds["hybrid_conf_mono"] = (conf * np.maximum(sgm, 0.0)
                                      + (1 - conf) * guide)
     lowtex = low_texture_mask(gl)

@@ -128,11 +128,35 @@ def depth_batch_pipeline(
                 if guidance_params is not None
                 else guidance_fn(left)
             )  # (B, H, W') relative depth
-            # normalize to [0, num_disparities] per frame (depth.py:358-360)
+            # reference contract: normalize to [0, num_disparities] per
+            # frame (depth.py:358-360). Min-max is scale-arbitrary (the
+            # frame's mono range always maps to the FULL disparity
+            # range), which our eval shows wrecks the blend
+            # (eval_stereo.json hybrid_conf_mono before this fix:
+            # low-tex EPE 11.3 vs 0.6 for the stereo hybrid).
             mmin = jnp.min(mono, axis=(-2, -1), keepdims=True)
             mmax = jnp.max(mono, axis=(-2, -1), keepdims=True)
-            mono = (mono - mmin) / jnp.maximum(mmax - mmin, 1e-6)
-            guide = mono * float(params.num_disparities)
+            guide = (
+                (mono - mmin) / jnp.maximum(mmax - mmin, 1e-6)
+                * float(params.num_disparities)
+            )
+            if blend == "confidence":
+                # mono depth is affine-free: least-squares (s, t) align
+                # it per frame onto the *confident* SGM disparities
+                # (weights = the same texture-gated uniqueness margin
+                # the blend uses), so the guide lands in true disparity
+                # units. Degenerate fits (flat mono, no confident
+                # stereo, anti-correlated s<=0) fall back to the
+                # reference min-max contract.
+                from video3d_tpu.models.mono import ssi_align
+
+                conf_w = jnp.where(
+                    disp > float(params.min_disparity) - 0.5, margin, 0.0
+                )
+                s, t = ssi_align(mono, jnp.maximum(disp, 0.0), conf_w)
+                g_ssi = jnp.clip(mono * s + t, 0.0,
+                                 float(params.num_disparities))
+                guide = jnp.where(s > 0.0, g_ssi, guide)
         if blend == "confidence":
             # confidence-weighted mixing (default): the stereo weight per
             # pixel is the texture-gated SGM uniqueness margin
