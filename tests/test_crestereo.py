@@ -111,3 +111,39 @@ def test_depth_pipeline_with_stereo_guidance(tiny):
     )
     out = np.asarray(out)
     assert out.shape == (2, 32, 64) and out.dtype == np.uint16
+
+
+def test_train_step_k_matches_single_steps(tiny):
+    """K scanned steps (one dispatch) ≡ K sequential train_step calls."""
+    from video3d_tpu.models.crestereo import train_step_k
+
+    cfg, model, params0, left, right = tiny
+    rng = np.random.default_rng(3)
+    K = 3
+    lefts = jnp.asarray(
+        rng.uniform(0, 255, (K, 2, 32, 64, 3)).astype(np.float32))
+    rights = jnp.roll(lefts, -2, axis=3)
+    gts = jnp.full((K, 2, 32, 64), 2.0)
+    valids = jnp.ones_like(gts)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
+
+    p_ref = params0
+    o_ref = tx.init(p_ref)
+    ref_losses = []
+    for i in range(K):
+        p_ref, o_ref, loss = train_step(
+            model, tx, p_ref, o_ref, lefts[i], rights[i], gts[i], valids[i]
+        )
+        ref_losses.append(float(loss))
+
+    p_k = params0
+    o_k = tx.init(p_k)
+    p_k, o_k, losses = train_step_k(
+        model, tx, p_k, o_k, lefts, rights, gts, valids
+    )
+    np.testing.assert_allclose(np.asarray(losses), ref_losses, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_k), jax.tree.leaves(p_ref)):
+        # scan vs eager reassociates float reductions (global-norm clip,
+        # adam); trajectories agree to float noise, not bitwise
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=2e-4)

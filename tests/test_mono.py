@@ -93,3 +93,39 @@ def test_mono_guidance_in_depth_pipeline():
         apply_speckle=False, guidance_fn=g, guidance_params=g.params,
     )
     assert out.shape == (2, 32, 64) and out.dtype == jnp.uint16
+
+
+def test_train_step_k_matches_single_steps():
+    """K scanned distillation steps ≡ K sequential train_step calls."""
+    import optax
+
+    from video3d_tpu.models.mono import MonoDepthLite, train_step, train_step_k
+
+    model = MonoDepthLite(width=8)
+    rng = np.random.default_rng(5)
+    K = 3
+    rgbs = jnp.asarray(
+        rng.uniform(0, 255, (K, 2, 32, 64, 3)).astype(np.float32))
+    gts = jnp.asarray(rng.uniform(0, 16, (K, 2, 32, 64)).astype(np.float32))
+    valids = jnp.ones_like(gts)
+    params0 = model.init(jax.random.key(0), rgbs[0])
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
+
+    p_ref, o_ref = params0, tx.init(params0)
+    ref_losses = []
+    for i in range(K):
+        p_ref, o_ref, loss = train_step(
+            model, tx, p_ref, o_ref, rgbs[i], gts[i], valids[i],
+            smooth_weight=0.05)
+        ref_losses.append(float(loss))
+
+    p_k, o_k = params0, tx.init(params0)
+    p_k, o_k, losses = train_step_k(
+        model, tx, p_k, o_k, rgbs, gts, valids, smooth_weight=0.05
+    )
+    np.testing.assert_allclose(np.asarray(losses), ref_losses, rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(p_k), jax.tree.leaves(p_ref)):
+        # scan vs eager reassociates float reductions (global-norm clip,
+        # adam); trajectories agree to float noise, not bitwise
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-2, atol=2e-4)

@@ -254,6 +254,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--save-every", type=int, default=0,
                    help="checkpoint to --out every N steps (0 = only at "
                         "the end); long runs survive interruption")
+    p.add_argument("--steps-per-call", type=int, default=32,
+                   help="optimizer steps per device dispatch (lax.scan "
+                        "over stacked batches). Each jitted call pays a "
+                        "multi-second relay round-trip on tunneled dev "
+                        "hosts while the step itself computes in ms; "
+                        "K>1 amortizes it (~20x measured). 1 = legacy "
+                        "one-step-per-call loop")
     p.add_argument("--init-from", default=None,
                    help="warm-start from an existing checkpoint directory")
     p.add_argument("--dp", action="store_true",
@@ -379,20 +386,62 @@ def main(argv=None) -> int:
                 np.clip(np.round(right), 0, 255).astype(np.uint8),
                 gt.astype(np.float16), valid.astype(np.float16))
 
+    K = max(1, args.steps_per_call)
     t0 = time.time()
-    for step in range(1, args.steps + 1):
-        left, right, gt, valid = put_batch(*compact(left, right, gt, valid))
-        params, opt_state, loss = train_step(
-            model, tx, params, opt_state, left, right, gt, valid
-        )
-        if step % args.log_every == 0 or step == args.steps:
-            print(f"step {step:5d}  loss {float(loss):9.4f}  "
-                  f"({step / (time.time() - t0):.2f} steps/s)")
-        if args.save_every and step % args.save_every == 0 \
-                and step != args.steps:
-            save_checkpoint(str(Path(args.out).resolve()), params)
-            print(f"  [ckpt @ step {step}]", flush=True)
-        left, right, gt, valid = next_batch()
+    if K == 1:
+        for step in range(1, args.steps + 1):
+            left, right, gt, valid = put_batch(
+                *compact(left, right, gt, valid))
+            params, opt_state, loss = train_step(
+                model, tx, params, opt_state, left, right, gt, valid
+            )
+            if step % args.log_every == 0 or step == args.steps:
+                print(f"step {step:5d}  loss {float(loss):9.4f}  "
+                      f"({step / (time.time() - t0):.2f} steps/s)",
+                      flush=True)
+            if args.save_every and step % args.save_every == 0 \
+                    and step != args.steps:
+                save_checkpoint(str(Path(args.out).resolve()), params)
+                print(f"  [ckpt @ step {step}]", flush=True)
+            left, right, gt, valid = next_batch()
+    else:
+        import math
+
+        from video3d_tpu.models.crestereo import train_step_k
+        from video3d_tpu.utils.prefetch import BatchPrefetcher
+
+        put_stacked = lambda *xs: xs
+        if args.dp:
+            stacked_sh = NamedSharding(mesh, P(None, "frames"))
+            put_stacked = lambda *xs: tuple(
+                jax.device_put(x, stacked_sh) for x in xs
+            )
+        total = math.ceil(args.steps / K) * K
+        if total != args.steps:
+            print(f"steps rounded up to {total} "
+                  f"(multiple of --steps-per-call {K})")
+        # host gen overlaps the in-flight device call via a thread
+        with BatchPrefetcher(next_batch, depth=2 * K) as fetch:
+            done = 0
+            pending = [(left, right, gt, valid)]  # reuse the init batch
+            while done < total:
+                while len(pending) < K:
+                    pending.append(fetch())
+                stacked = tuple(np.stack(x) for x in zip(*pending))
+                pending.clear()
+                batch_dev = put_stacked(*compact(*stacked))
+                params, opt_state, losses = train_step_k(
+                    model, tx, params, opt_state, *batch_dev
+                )
+                done += K
+                print(f"step {done:5d}  loss "
+                      f"{float(losses[-1]):9.4f}  "
+                      f"({done / (time.time() - t0):.2f} steps/s)",
+                      flush=True)
+                if args.save_every and done % args.save_every < K \
+                        and done < total:
+                    save_checkpoint(str(Path(args.out).resolve()), params)
+                    print(f"  [ckpt @ step {done}]", flush=True)
 
     out = str(Path(args.out).resolve())
     save_checkpoint(out, params)

@@ -47,6 +47,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log-every", type=int, default=10)
     p.add_argument("--save-every", type=int, default=0)
+    p.add_argument("--steps-per-call", type=int, default=32,
+                   help="optimizer steps per device dispatch (see "
+                        "train-crestereo: amortizes the per-call relay "
+                        "round-trip; 1 = legacy loop)")
     p.add_argument("--init-from", default=None)
     return p
 
@@ -130,21 +134,56 @@ def main(argv=None) -> int:
         return (np.clip(np.round(rgb), 0, 255).astype(np.uint8),
                 gt.astype(np.float16), valid.astype(np.float16))
 
+    K = max(1, args.steps_per_call)
     t0 = time.time()
-    for step in range(1, args.steps + 1):
-        params, opt_state, loss = train_step(
-            model, tx, params, opt_state,
-            *compact(left, gt, valid),
-            smooth_weight=args.smooth_weight,
-        )
-        if step % args.log_every == 0 or step == args.steps:
-            print(f"step {step:5d}  loss {float(loss):9.4f}  "
-                  f"({step / (time.time() - t0):.2f} steps/s)", flush=True)
-        if args.save_every and step % args.save_every == 0 \
-                and step != args.steps:
-            save_checkpoint(str(Path(args.out).resolve()), params)
-            print(f"  [ckpt @ step {step}]", flush=True)
-        left, _, gt, valid = next_batch()
+    if K == 1:
+        for step in range(1, args.steps + 1):
+            params, opt_state, loss = train_step(
+                model, tx, params, opt_state,
+                *compact(left, gt, valid),
+                smooth_weight=args.smooth_weight,
+            )
+            if step % args.log_every == 0 or step == args.steps:
+                print(f"step {step:5d}  loss {float(loss):9.4f}  "
+                      f"({step / (time.time() - t0):.2f} steps/s)",
+                      flush=True)
+            if args.save_every and step % args.save_every == 0 \
+                    and step != args.steps:
+                save_checkpoint(str(Path(args.out).resolve()), params)
+                print(f"  [ckpt @ step {step}]", flush=True)
+            left, _, gt, valid = next_batch()
+    else:
+        import math
+
+        from video3d_tpu.models.mono import train_step_k
+        from video3d_tpu.utils.prefetch import BatchPrefetcher
+
+        total = math.ceil(args.steps / K) * K
+        if total != args.steps:
+            print(f"steps rounded up to {total} "
+                  f"(multiple of --steps-per-call {K})")
+        with BatchPrefetcher(next_batch, depth=2 * K) as fetch:
+            done = 0
+            pending = [(left, gt, valid)]
+            while done < total:
+                while len(pending) < K:
+                    b = fetch()
+                    pending.append((b[0], b[2], b[3]))
+                stacked = tuple(np.stack(x) for x in zip(*pending))
+                pending.clear()
+                params, opt_state, losses = train_step_k(
+                    model, tx, params, opt_state, *compact(*stacked),
+                    smooth_weight=args.smooth_weight,
+                )
+                done += K
+                print(f"step {done:5d}  loss "
+                      f"{float(losses[-1]):9.4f}  "
+                      f"({done / (time.time() - t0):.2f} steps/s)",
+                      flush=True)
+                if args.save_every and done % args.save_every < K \
+                        and done < total:
+                    save_checkpoint(str(Path(args.out).resolve()), params)
+                    print(f"  [ckpt @ step {done}]", flush=True)
 
     out = str(Path(args.out).resolve())
     save_checkpoint(out, params)

@@ -153,6 +153,35 @@ def train_step(model: MonoDepthLite, tx, params, opt_state, rgb, gt_disp,
     return params, opt_state, loss
 
 
+@partial(jax.jit, static_argnames=("model", "tx"),
+         donate_argnums=(2, 3))
+def train_step_k(model: MonoDepthLite, tx, params, opt_state, rgbs,
+                 gt_disps, valids, smooth_weight: float = 0.1):
+    """K distillation steps in ONE dispatch (leading K axis); see
+    crestereo.train_step_k for why (relay round-trip amortization)."""
+    def body(carry, batch):
+        params, opt_state = carry
+        rgb, gt_disp, valid = batch
+        rgb = rgb.astype(jnp.float32)
+        gt_disp = gt_disp.astype(jnp.float32)
+        valid = valid.astype(jnp.float32)
+
+        def loss_fn(p):
+            pred = model.apply(p, rgb)
+            return (ssi_l1_loss(pred, gt_disp, valid)
+                    + smooth_weight * smoothness_loss(pred, rgb))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = jax.tree.map(lambda a, u: a + u, params, updates)
+        return (params, opt_state), loss
+
+    (params, opt_state), losses = jax.lax.scan(
+        body, (params, opt_state), (rgbs, gt_disps, valids)
+    )
+    return params, opt_state, losses
+
+
 # ---------------------------------------------------------------------------
 # Checkpoint + guidance integration
 # ---------------------------------------------------------------------------
