@@ -24,6 +24,117 @@ from video3d_tpu.cli.train_crestereo import (
 )
 
 
+def mono_cue_batch(rng: np.random.Generator, batch: int, h: int, w: int,
+                   max_disparity: int):
+    """Perceptual-cue curriculum for monocular distillation.
+
+    The stereo curricula (v1/v2) draw texture and disparity
+    independently, so a MONOCULAR net trained on them can only learn
+    layout priors (ground-plane ramps, occlusion layering) — appearance
+    carries zero depth signal by construction. This generator renders
+    scenes where the classic monocular cues are all monotone in
+    disparity, the way the reference's DPT-large learned them from real
+    photos (reference depth.py:74-82 is the slot this feeds):
+
+    - ground plane: disparity rises linearly below a sampled horizon
+      (height-in-visual-field cue);
+    - texture gradient: surface texture is sampled at a spatial scale
+      proportional to 1/d, so far surfaces look finer;
+    - relative size: standing objects are scaled by d_obj and their feet
+      sit on the ground line for their depth;
+    - defocus: blur increases toward the far plane;
+    - aerial haze: far pixels lose contrast toward a light veil.
+
+    Each cue is independently dropped ~15% of the time so the net
+    cannot over-rely on any single one.  Returns the same
+    ``(left, right, gt, valid)`` tuple as the stereo generators; the
+    right view is a copy of the left (mono distillation never reads it).
+    """
+    import scipy.ndimage as ndi
+
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    imgs, gts = [], []
+    for _ in range(batch):
+        d_far = float(rng.uniform(0.5, max(1.0, max_disparity * 0.06)))
+        d_near = float(rng.uniform(max_disparity * 0.55,
+                                   max_disparity - 1.0))
+        y_h = float(rng.uniform(0.15, 0.45)) * h  # horizon row
+        use_texgrad = rng.random() > 0.15
+        use_defocus = rng.random() > 0.15
+        use_haze = rng.random() > 0.15
+
+        # ground plane: d linear in y below the horizon (true for a
+        # plane under perspective since d ~ 1/Z ~ y - y_horizon)
+        ramp = np.clip((yy[:, 0] - y_h) / max(h - y_h, 1.0), 0.0, 1.0)
+        d = (d_far + (d_near - d_far) * ramp)[:, None] * np.ones(
+            (1, w), np.float32)
+
+        # textures sampled at scale ∝ 1/d (texture gradient)
+        tile_g = ndi.gaussian_filter(
+            rng.uniform(0, 255, (h, w)).astype(np.float32),
+            rng.uniform(1.0, 2.0), mode="wrap")
+        tile_o = ndi.gaussian_filter(
+            rng.uniform(0, 255, (h, w)).astype(np.float32),
+            rng.uniform(0.8, 1.6), mode="wrap")
+
+        def sample(tile, scale_map):
+            return ndi.map_coordinates(
+                tile, [yy * scale_map, xx * scale_map], order=1,
+                mode="wrap")
+
+        scale = (d_near / np.maximum(d, 0.5)) if use_texgrad else \
+            np.ones_like(d)
+        img = sample(tile_g, scale).astype(np.float32)
+
+        # standing objects, far-to-near so near occludes far
+        n_obj = int(rng.integers(2, 6))
+        depths = np.sort(rng.uniform(d_far + 0.5, d_near, n_obj))
+        base_h = rng.uniform(0.25, 0.5) * h
+        for d_obj in depths:
+            rel = (d_obj - d_far) / max(d_near - d_far, 1e-6)
+            y_base = y_h + rel * (h - y_h)  # feet on its ground line
+            oh = base_h * (d_obj / d_near) * rng.uniform(0.7, 1.3)
+            ow = oh * rng.uniform(0.5, 1.5)
+            x0 = rng.uniform(-0.1 * w, w - 0.4 * ow)
+            y0, y1 = int(max(y_base - oh, 0)), int(min(y_base, h))
+            x1 = int(min(x0 + ow, w))
+            x0 = int(max(x0, 0))
+            if y1 <= y0 or x1 <= x0:
+                continue
+            sc = (d_near / d_obj) if use_texgrad else 1.0
+            otex = sample(tile_o, np.full_like(d, sc))
+            if rng.random() < 0.3:  # sometimes low-texture objects
+                otex = float(rng.uniform(40, 215)) + 0.05 * (
+                    otex - otex.mean())
+            if rng.random() < 0.5:  # ellipse mask
+                cy, cx = (y0 + y1) / 2, (x0 + x1) / 2
+                ry, rx = max((y1 - y0) / 2, 1), max((x1 - x0) / 2, 1)
+                mask = (((yy - cy) / ry) ** 2
+                        + ((xx - cx) / rx) ** 2) <= 1.0
+                mask &= (yy <= y_base)
+            else:
+                mask = np.zeros((h, w), bool)
+                mask[y0:y1, x0:x1] = True
+            img = np.where(mask, otex, img)
+            d = np.where(mask, np.float32(d_obj), d)
+
+        d_n = (d - d_far) / max(d_near - d_far, 1e-6)  # 0=far 1=near
+        if use_defocus:
+            blur = ndi.gaussian_filter(img, rng.uniform(2.0, 4.0))
+            wgt = (1.0 - d_n) ** 1.5
+            img = img * (1 - wgt) + blur * wgt
+        if use_haze:
+            veil = float(rng.uniform(150, 230))
+            k = float(rng.uniform(0.2, 0.6))
+            img = img * (1 - k * (1 - d_n)) + veil * k * (1 - d_n)
+        imgs.append(np.clip(img, 0, 255).astype(np.float32))
+        gts.append(d.astype(np.float32))
+
+    rgb = np.repeat(np.stack(imgs)[..., None], 3, axis=-1)
+    return (rgb, rgb.copy(), np.stack(gts),
+            np.ones((batch, h, w), np.float32))
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="video-3d-train-mono",
@@ -35,7 +146,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mix in synthetic curriculum batches (exact GT)")
     p.add_argument("--video-every", type=int, default=2,
                    help="with both sources, every Nth batch is footage")
-    p.add_argument("--data", default="v2", choices=("v1", "v2"))
+    p.add_argument("--data", default="cues", choices=("v1", "v2", "cues"),
+                   help="synthetic curriculum: v1/v2 are the stereo "
+                        "generators (appearance independent of depth — "
+                        "layout priors only); 'cues' renders monocular "
+                        "perceptual cues monotone in disparity")
     p.add_argument("--out", default="mono_ckpt")
     p.add_argument("--steps", type=int, default=3000)
     p.add_argument("--batch-size", type=int, default=8)
@@ -75,7 +190,8 @@ def main(argv=None) -> int:
     rng = np.random.default_rng(args.seed)
     h, w = args.crop
     model = MonoDepthLite(width=args.width)
-    synth_fn = synthetic_batch if args.data == "v1" else synthetic_batch_v2
+    synth_fn = {"v1": synthetic_batch, "v2": synthetic_batch_v2,
+                "cues": mono_cue_batch}[args.data]
 
     next_video_batch = None
     if args.video:
