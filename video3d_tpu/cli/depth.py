@@ -51,6 +51,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "time). The cache key reflects the chosen "
                         "range.")
     p.add_argument("--range-sample-frames", type=int, default=6)
+    p.add_argument("--auto-range-shots", action="store_true",
+                   help="Per-SHOT auto-range: segment the clip at cuts "
+                        "(downsampled-luma spike detector), probe D per "
+                        "shot, process each shot at its own range into "
+                        "one shared cache. Also resets the temporal "
+                        "smoother at every cut.")
+    p.add_argument("--shot-threshold", type=float, default=24.0,
+                   help="Mean-luma-change cut threshold (0-255 scale) "
+                        "for --auto-range-shots")
     p.add_argument("--guidance-weight", type=float, default=0.7,
                    help="Stereo weight of the FIXED guidance blend "
                         "(reference contract 0.7; only used with "
@@ -128,7 +137,20 @@ def main(argv=None) -> int:
                 n_frames=args.max_frames,
                 sample_frames=args.range_sample_frames,
             )
-        if args.multihost:
+        if args.auto_range_shots:
+            if args.multihost:
+                print("--auto-range-shots is not supported with "
+                      "--multihost (shard by host instead)")
+                return 1
+            cache = extractor.process_video_sbs_shots(
+                args.video,
+                start_frame=args.start_frame,
+                max_frames=args.max_frames,
+                force=args.force,
+                sample_frames=args.range_sample_frames,
+                shot_threshold=args.shot_threshold,
+            )
+        elif args.multihost:
             cache = extractor.process_video_sbs_sharded(
                 args.video, max_frames=args.max_frames, force=args.force
             )

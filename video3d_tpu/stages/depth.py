@@ -64,6 +64,7 @@ ALGO_VERSION = 2
         "return_guide",
         "stereo_weight",
         "blend",
+        "norm_disparities",
     ),
 )
 def depth_batch_pipeline(
@@ -77,6 +78,7 @@ def depth_batch_pipeline(
     return_guide: bool = False,
     stereo_weight: float = STEREO_WEIGHT,
     blend: str = "confidence",
+    norm_disparities: Optional[int] = None,
 ) -> jnp.ndarray:
     """uint8 SBS RGB batch (B, H, W, 3) -> uint16 depth batch (B, H, W').
 
@@ -185,8 +187,12 @@ def depth_batch_pipeline(
         dmax = jnp.max(disp, axis=(-2, -1), keepdims=True)
         scaled = (disp - dmin) / jnp.maximum(dmax - dmin, 1e-6) * 65535.0
     else:
-        # fixed disparity range keeps inter-frame scale consistent
-        scaled = disp * (65535.0 / float(params.num_disparities))
+        # fixed disparity range keeps inter-frame scale consistent;
+        # norm_disparities overrides the denominator so per-shot
+        # narrowed runs (process_video_sbs_shots) still encode every
+        # shot on the film-wide scale
+        scaled = disp * (65535.0 / float(
+            norm_disparities or params.num_disparities))
     out = jnp.clip(scaled, 0.0, 65535.0).astype(jnp.uint16)
     if return_guide:
         from video3d_tpu.ops.image import resize2d
@@ -255,6 +261,9 @@ class StereoDepthExtractor:
         self.params = params
         self._guidance_fn: Optional[Callable] = None
         self._guidance_loaded = False
+        # fixed-normalization denominator override; set while processing
+        # per-shot narrowed ranges so the PNG scale stays film-wide
+        self._norm_disparities: Optional[int] = None
 
     # -- guidance backends -------------------------------------------------
 
@@ -502,6 +511,12 @@ class StereoDepthExtractor:
             total = min(total, n_frames)
         k = max(1, min(sample_frames, total))
         picks = [start_frame + (i * total) // k for i in range(k)]
+        return self._probe_range_at(video_path, picks)
+
+    def _probe_range_at(self, video_path: str, picks) -> int:
+        """Probe the disparity range over explicit frame indices (the
+        shared core of :meth:`estimate_disparity_range` and the per-shot
+        planner :meth:`process_video_sbs_shots`)."""
         frames = []
         for p in picks:
             reader = VideoReader(
@@ -555,6 +570,87 @@ class StereoDepthExtractor:
                 self.params, num_disparities=d
             )
         return d
+
+    def process_video_sbs_shots(
+        self,
+        video_path: str,
+        start_frame: int = 0,
+        max_frames: Optional[int] = None,
+        force: bool = False,
+        sample_frames: int = 4,
+        shot_threshold: float = 24.0,
+        min_shot_len: int = 12,
+    ) -> Path:
+        """Per-shot auto-range: segment the clip into shots
+        (core/shots.py), probe the smallest cv2-legal disparity range
+        per shot, and process each shot at its own D into ONE shared,
+        globally-numbered cache (the multi-host cache machinery reused
+        per shot).
+
+        Beyond the SGM-cost-is-linear-in-D win this also RESETS the
+        temporal smoother at every cut — exactly where temporal
+        smoothing must not leak (the reference smooths blindly across
+        cuts, depth.py:399-407).  Distinct D values are multiples of 16,
+        so at most D_max/16 programs ever compile.
+        """
+        import dataclasses
+        import hashlib
+
+        from video3d_tpu.core.shots import detect_shots
+
+        shots = detect_shots(
+            str(video_path), start_frame=start_frame,
+            max_frames=max_frames, threshold=shot_threshold,
+            min_shot_len=min_shot_len,
+        )
+        if not shots:
+            raise RuntimeError(f"No frames to process: {video_path}")
+        n_frames = shots[-1][1] - start_frame
+
+        plans = []
+        for s, e in shots:
+            k = max(1, min(sample_frames, e - s))
+            picks = [s + (i * (e - s)) // k for i in range(k)]
+            # pad to a fixed probe batch so every shot reuses one compile
+            picks += [picks[-1]] * (sample_frames - len(picks))
+            plans.append((s, e, self._probe_range_at(video_path, picks)))
+        ds = [d for _, _, d in plans]
+        print(
+            f"Per-shot ranges: {len(plans)} shots, D in "
+            f"[{min(ds)}, {max(ds)}] (full range "
+            f"{self.params.num_disparities})"
+        )
+
+        plan_key = hashlib.md5(repr(plans).encode()).hexdigest()[:10]
+        cache = depth_cache_dir(
+            self.work_dir,
+            str(video_path),
+            start_frame,
+            n_frames,
+            self._model_key() + f"+shots={plan_key}",
+            self.unsqueeze_anamorphic,
+        )
+        base = self.params
+        try:
+            # every shot encodes on the film-wide scale regardless of
+            # its narrowed matcher range
+            self._norm_disparities = base.num_disparities
+            for s, e, d in plans:
+                self.params = dataclasses.replace(
+                    base, num_disparities=d
+                )
+                self.process_video_sbs(
+                    video_path,
+                    start_frame=s,
+                    max_frames=e - s,
+                    force=force,
+                    cache_dir=cache,
+                    index_offset=s - start_frame,
+                )
+        finally:
+            self.params = base
+            self._norm_disparities = None
+        return cache
 
     def _model_key(self) -> str:
         """Cache-key component covering every output-affecting option, so
@@ -703,6 +799,7 @@ class StereoDepthExtractor:
                     return_guide=want_guide,
                     stereo_weight=self.stereo_weight,
                     blend=self.blend,
+                    norm_disparities=self._norm_disparities,
                 )  # async dispatch; do host work before blocking on it
                 if want_guide:
                     depth, guide = depth
