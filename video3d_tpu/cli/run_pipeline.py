@@ -37,6 +37,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--auto-range", action="store_true",
                    help="Probe and narrow the disparity range before the "
                         "depth stage (see video-3d-depth --auto-range)")
+    p.add_argument("--auto-range-shots", action="store_true",
+                   help="Per-SHOT auto-range for the depth stage (see "
+                        "video-3d-depth --auto-range-shots); in --fused "
+                        "mode falls back to the global probe")
     p.add_argument("--guidance-weight", type=float, default=0.7)
     p.add_argument("--blend", default="confidence",
                    choices=("confidence", "fixed"),
@@ -70,6 +74,7 @@ def main(argv=None) -> int:
         min_correlation=args.min_correlation,
         temporal_smooth=args.temporal_smooth,
         auto_range=args.auto_range,
+        auto_range_shots=args.auto_range_shots,
         guidance_weight=args.guidance_weight,
         blend=args.blend,
         fused=args.fused,

@@ -54,6 +54,7 @@ def run_pipeline(
     min_correlation: float = 0.6,
     temporal_smooth: Optional[str] = None,
     auto_range: bool = False,
+    auto_range_shots: bool = False,
     guidance_weight: float = 0.7,
     blend: str = "confidence",
     fused: bool = False,
@@ -128,6 +129,10 @@ def run_pipeline(
             temporal_smooth=temporal_smooth, stereo_weight=guidance_weight,
             blend=blend,
         )
+        if auto_range_shots:
+            print("fused mode runs one device loop; using the global "
+                  "--auto-range probe instead of per-shot ranges")
+            auto_range = True
         if auto_range:
             extractor.apply_auto_range(
                 sbs_video, start_frame=sbs_start, n_frames=max_frames
@@ -170,16 +175,24 @@ def run_pipeline(
             temporal_smooth=temporal_smooth, stereo_weight=guidance_weight,
             blend=blend,
         )
-        if auto_range:
-            extractor.apply_auto_range(
-                sbs_video, start_frame=sbs_start, n_frames=max_frames
+        if auto_range_shots:
+            depth_dir = extractor.process_video_sbs_shots(
+                sbs_video,
+                start_frame=sbs_start,
+                max_frames=max_frames,
+                force=force,
             )
-        depth_dir = extractor.process_video_sbs(
-            sbs_video,
-            start_frame=sbs_start,
-            max_frames=max_frames,
-            force=force,
-        )
+        else:
+            if auto_range:
+                extractor.apply_auto_range(
+                    sbs_video, start_frame=sbs_start, n_frames=max_frames
+                )
+            depth_dir = extractor.process_video_sbs(
+                sbs_video,
+                start_frame=sbs_start,
+                max_frames=max_frames,
+                force=force,
+            )
         timings["depth"] = time.time() - t0
         result["depth_dir"] = str(depth_dir)
 
