@@ -41,6 +41,8 @@ def _blobby_disp(rng, b, h, w, invalid=-1.0):
         (240, 160, 9),  # four row blocks
         (48, 128, 9),  # single block (nblk=1 lookahead edge case)
         (80, 128, 25),  # radius 5
+        (80, 128, 100),  # radius 10: production default, prefix-scan path
+        (240, 256, 100),  # prefix-scan path across several row blocks
     ],
 )
 def test_pallas_speckle_matches_device(h, w, min_region):
