@@ -374,6 +374,22 @@ def main() -> None:
                                           cre_fn, mono_fn)
         result["ood_metrics"] = ood_table
         result["ood_low_texture_fraction"] = ood_ltf
+    if mono_fn is not None:
+        # held-out perceptual-cue scenes (cli/train_mono.py renderer,
+        # eval-only seed): the set where a monocular net CAN in
+        # principle recover depth from appearance — mono_ssi here
+        # measures learned cues, not layout priors; the stereo rows
+        # stay meaningful because the renderer emits true layered
+        # parallax pairs
+        from video3d_tpu.cli.train_mono import mono_cue_batch
+
+        rng_c = np.random.default_rng(args.seed + 2)
+        lc, rc, gc, _ = mono_cue_batch(rng_c, args.scenes, args.h,
+                                       args.w, args.max_disparity)
+        cue_table, cue_ltf = evaluate_set("mono-cues", lc, rc, gc, args,
+                                          params, cre_fn, mono_fn)
+        result["mono_cues_metrics"] = cue_table
+        result["mono_cues_low_texture_fraction"] = cue_ltf
     if not args.no_clip:
         result["clip_lr_consistency"] = lr_consistency_clip(args, params,
                                                             cre_fn)

@@ -46,14 +46,25 @@ def mono_cue_batch(rng: np.random.Generator, batch: int, h: int, w: int,
     - aerial haze: far pixels lose contrast toward a light veil.
 
     Each cue is independently dropped ~15% of the time so the net
-    cannot over-rely on any single one.  Returns the same
-    ``(left, right, gt, valid)`` tuple as the stereo generators; the
-    right view is a copy of the left (mono distillation never reads it).
+    cannot over-rely on any single one.
+
+    Unlike the earlier mono-only draft, this renders a TRUE stereo
+    pair with layered parallax: the scene (image + depth) is painted
+    on an extended canvas in RIGHT-eye coordinates with every object
+    shifted left by its own disparity, the right eye is a crisp crop,
+    and the left eye is sampled at ``x - d(y,x) + max_disparity``
+    (the exact-GT scheme of :func:`synthetic_batch`).  The pair is
+    therefore usable by the stereo matchers/CREStereo too, and the
+    stereo rows of the mono-cues eval set (tools/eval_stereo.py) are
+    meaningful.
     """
     import scipy.ndimage as ndi
 
-    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
-    imgs, gts = [], []
+    ms = int(max_disparity)
+    wc = w + ms  # canvas width (right-eye coords, extended left)
+    yy, xx = np.mgrid[0:h, 0:wc].astype(np.float32)  # canvas grid
+    yyl, xxl = np.mgrid[0:h, 0:w].astype(np.float32)  # left grid
+    lefts, rights, gts = [], [], []
     for _ in range(batch):
         d_far = float(rng.uniform(0.5, max(1.0, max_disparity * 0.06)))
         d_near = float(rng.uniform(max_disparity * 0.55,
@@ -64,17 +75,20 @@ def mono_cue_batch(rng: np.random.Generator, batch: int, h: int, w: int,
         use_haze = rng.random() > 0.15
 
         # ground plane: d linear in y below the horizon (true for a
-        # plane under perspective since d ~ 1/Z ~ y - y_horizon)
-        ramp = np.clip((yy[:, 0] - y_h) / max(h - y_h, 1.0), 0.0, 1.0)
-        d = (d_far + (d_near - d_far) * ramp)[:, None] * np.ones(
-            (1, w), np.float32)
+        # plane under perspective since d ~ 1/Z ~ y - y_horizon); the
+        # ramp depends only on y, so it is the same in canvas and
+        # left coordinates
+        ramp = np.clip((yy[:, :1] - y_h) / max(h - y_h, 1.0), 0.0, 1.0)
+        d_row = (d_far + (d_near - d_far) * ramp).astype(np.float32)
+        d_canvas = d_row * np.ones((1, wc), np.float32)
+        d_left = d_row * np.ones((1, w), np.float32)
 
         # textures sampled at scale ∝ 1/d (texture gradient)
         tile_g = ndi.gaussian_filter(
-            rng.uniform(0, 255, (h, w)).astype(np.float32),
+            rng.uniform(0, 255, (h, wc)).astype(np.float32),
             rng.uniform(1.0, 2.0), mode="wrap")
         tile_o = ndi.gaussian_filter(
-            rng.uniform(0, 255, (h, w)).astype(np.float32),
+            rng.uniform(0, 255, (h, wc)).astype(np.float32),
             rng.uniform(0.8, 1.6), mode="wrap")
 
         def sample(tile, scale_map):
@@ -82,11 +96,14 @@ def mono_cue_batch(rng: np.random.Generator, batch: int, h: int, w: int,
                 tile, [yy * scale_map, xx * scale_map], order=1,
                 mode="wrap")
 
-        scale = (d_near / np.maximum(d, 0.5)) if use_texgrad else \
-            np.ones_like(d)
+        scale = (d_near / np.maximum(d_canvas, 0.5)) if use_texgrad \
+            else np.ones_like(d_canvas)
         img = sample(tile_g, scale).astype(np.float32)
 
-        # standing objects, far-to-near so near occludes far
+        # standing objects, far-to-near so near occludes far; each is
+        # painted at left coords into d_left and at canvas coords
+        # (shifted left by its disparity) into the image + d_canvas,
+        # which is exactly where the right eye sees it
         n_obj = int(rng.integers(2, 6))
         depths = np.sort(rng.uniform(d_far + 0.5, d_near, n_obj))
         base_h = rng.uniform(0.25, 0.5) * h
@@ -95,30 +112,35 @@ def mono_cue_batch(rng: np.random.Generator, batch: int, h: int, w: int,
             y_base = y_h + rel * (h - y_h)  # feet on its ground line
             oh = base_h * (d_obj / d_near) * rng.uniform(0.7, 1.3)
             ow = oh * rng.uniform(0.5, 1.5)
-            x0 = rng.uniform(-0.1 * w, w - 0.4 * ow)
+            x0f = rng.uniform(-0.1 * w, w - 0.4 * ow)
             y0, y1 = int(max(y_base - oh, 0)), int(min(y_base, h))
-            x1 = int(min(x0 + ow, w))
-            x0 = int(max(x0, 0))
-            if y1 <= y0 or x1 <= x0:
+            if y1 <= y0 or int(min(x0f + ow, w)) <= int(max(x0f, 0)):
                 continue
             sc = (d_near / d_obj) if use_texgrad else 1.0
-            otex = sample(tile_o, np.full_like(d, sc))
+            otex = sample(tile_o, np.full_like(d_canvas, sc))
             if rng.random() < 0.3:  # sometimes low-texture objects
                 otex = float(rng.uniform(40, 215)) + 0.05 * (
                     otex - otex.mean())
+            shift = ms - d_obj  # left coords -> canvas coords
             if rng.random() < 0.5:  # ellipse mask
-                cy, cx = (y0 + y1) / 2, (x0 + x1) / 2
-                ry, rx = max((y1 - y0) / 2, 1), max((x1 - x0) / 2, 1)
-                mask = (((yy - cy) / ry) ** 2
-                        + ((xx - cx) / rx) ** 2) <= 1.0
-                mask &= (yy <= y_base)
+                cy, cx = (y0 + y1) / 2, (x0f + x0f + ow) / 2
+                ry = max((y1 - y0) / 2, 1)
+                rx = max(ow / 2, 1)
+                el = lambda gy, gx, cxx: (((gy - cy) / ry) ** 2
+                                          + ((gx - cxx) / rx) ** 2) <= 1
+                ml = el(yyl, xxl, cx) & (yyl <= y_base)
+                mc = el(yy, xx, cx + shift) & (yy <= y_base)
             else:
-                mask = np.zeros((h, w), bool)
-                mask[y0:y1, x0:x1] = True
-            img = np.where(mask, otex, img)
-            d = np.where(mask, np.float32(d_obj), d)
+                ml = np.zeros((h, w), bool)
+                ml[y0:y1, int(max(x0f, 0)):int(min(x0f + ow, w))] = True
+                mc = np.zeros((h, wc), bool)
+                mc[y0:y1, int(max(x0f + shift, 0)):
+                   int(min(x0f + ow + shift, wc))] = True
+            img = np.where(mc, otex, img)
+            d_canvas = np.where(mc, np.float32(d_obj), d_canvas)
+            d_left = np.where(ml, np.float32(d_obj), d_left)
 
-        d_n = (d - d_far) / max(d_near - d_far, 1e-6)  # 0=far 1=near
+        d_n = (d_canvas - d_far) / max(d_near - d_far, 1e-6)  # 0=far
         if use_defocus:
             blur = ndi.gaussian_filter(img, rng.uniform(2.0, 4.0))
             wgt = (1.0 - d_n) ** 1.5
@@ -127,11 +149,18 @@ def mono_cue_batch(rng: np.random.Generator, batch: int, h: int, w: int,
             veil = float(rng.uniform(150, 230))
             k = float(rng.uniform(0.2, 0.6))
             img = img * (1 - k * (1 - d_n)) + veil * k * (1 - d_n)
-        imgs.append(np.clip(img, 0, 255).astype(np.float32))
-        gts.append(d.astype(np.float32))
+        img = np.clip(img, 0, 255).astype(np.float32)
 
-    rgb = np.repeat(np.stack(imgs)[..., None], 3, axis=-1)
-    return (rgb, rgb.copy(), np.stack(gts),
+        # exact-GT sampling scheme of synthetic_batch: left pixel x
+        # matches right pixel x - d for ANY field d_left
+        left = ndi.map_coordinates(
+            img, [yyl, xxl - d_left + ms], order=1, mode="nearest")
+        lefts.append(left.astype(np.float32))
+        rights.append(img[:, ms:])
+        gts.append(d_left.astype(np.float32))
+
+    rgb = lambda g: np.repeat(np.stack(g)[..., None], 3, axis=-1)
+    return (rgb(lefts), rgb(rights), np.stack(gts),
             np.ones((batch, h, w), np.float32))
 
 
