@@ -242,10 +242,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="GRU refinement iterations")
     p.add_argument("--max-disparity", type=int, default=64)
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--data", default="v2", choices=("v1", "v2"),
+    p.add_argument("--data", default="v2", choices=("v1", "v2", "v2cues"),
                    help="Synthetic curriculum: v1 = smooth-noise scenes "
                         "(round-2 recipe), v2 = diversified families + "
-                        "piecewise-planar geometry (default)")
+                        "piecewise-planar geometry (default), v2cues = "
+                        "v2 with every 3rd batch from the perceptual-cue "
+                        "layered-parallax renderer (train_mono)")
     p.add_argument("--video-every", type=int, default=4,
                    help="With BOTH --video and --synthetic: every Nth "
                         "batch is SGM-pseudo-labeled footage (self-"
@@ -293,7 +295,20 @@ def main(argv=None) -> int:
     cfg = CREStereoConfig(iters=args.iters, max_disparity=args.max_disparity)
     model = CREStereoLite(cfg)
 
-    synth_fn = synthetic_batch if args.data == "v1" else synthetic_batch_v2
+    if args.data == "v2cues":
+        # lazy import: train_mono imports this module at top level
+        from video3d_tpu.cli.train_mono import mono_cue_batch
+
+        cue_box = [0]
+
+        def synth_fn(rng_, b, hh, ww, ms):
+            cue_box[0] += 1
+            if cue_box[0] % 3 == 0:
+                return mono_cue_batch(rng_, b, hh, ww, ms)
+            return synthetic_batch_v2(rng_, b, hh, ww, ms)
+    else:
+        synth_fn = synthetic_batch if args.data == "v1" \
+            else synthetic_batch_v2
     next_video_batch = None
     if args.video:
         from video3d_tpu.core import VideoReader
