@@ -154,6 +154,37 @@ def bench_hybrid():
          note="random-init DPT-large weights; checkpoint not fetchable")
 
 
+def bench_hybrid_mono():
+    """(4b) hybrid depth with the SHIPPED MonoDepthLite guidance
+    (--guidance mono): the self-hosted monocular slot that needs no
+    external checkpoint, measured with the bundled weights."""
+    import os as _os
+
+    from video3d_tpu.models.mono import make_mono_guidance
+    from video3d_tpu.ops.stereo import SGBMParams
+    from video3d_tpu.stages.depth import depth_batch_pipeline
+
+    ckpt = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "mono_ckpt")
+    if not _os.path.isdir(ckpt):
+        return
+    guidance_fn = make_mono_guidance(ckpt)
+    b = 4
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 255, (b, 1080, 1920, 3), dtype=np.uint8)
+
+    def fn(x, p):
+        return depth_batch_pipeline(
+            x, params=SGBMParams(), unsqueeze=True, normalize="fixed",
+            apply_speckle=True, guidance_fn=guidance_fn, guidance_params=p,
+        )
+
+    n_iters = 4
+    dt = chain_loop(fn, frames, n_iters, extras=(guidance_fn.params,))
+    emit("hybrid_mono_depth_fps_per_chip", b * n_iters / dt, "frames/sec",
+         note="bundled MonoDepthLite checkpoint (self-hosted mono slot)")
+
+
 def bench_smooth():
     """(8) flow-guided temporal EMA smoother, standalone at 1080p."""
     from video3d_tpu.ops.flow import FlowEMAParams, flow_ema_scan
@@ -431,6 +462,7 @@ def main() -> None:
         bench_upscale()
     if "hybrid" in want:
         bench_hybrid()
+        bench_hybrid_mono()
     if "e2e" in want:
         e2e_row = bench_e2e()
     if "encode" in want:
@@ -485,7 +517,8 @@ def main() -> None:
         merged = []
     order = [
         "alignment_30s_clips_seconds", "guided_upscale_4k_fps_per_chip",
-        "hybrid_dpt_depth_fps_per_chip", "encode_4k_fps_single",
+        "hybrid_dpt_depth_fps_per_chip", "hybrid_mono_depth_fps_per_chip",
+        "encode_4k_fps_single",
         "encode_4k_fps_segment_parallel", "e2e_slice_seconds",
         "e2e_film_projection_minutes_v5e8", "fused_slice_seconds",
         "e2e_film_projection_minutes_v5e8_fused_measured",
