@@ -129,3 +129,65 @@ def test_train_step_k_matches_single_steps():
         # adam); trajectories agree to float noise, not bitwise
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-2, atol=2e-4)
+
+
+def test_ssi_align_quality_scores():
+    from video3d_tpu.models.mono import ssi_align_quality
+
+    rng = np.random.default_rng(7)
+    gt = jnp.asarray(rng.uniform(0, 32, (2, 16, 24)).astype(np.float32))
+    v = jnp.ones_like(gt)
+    # affine-related prediction: perfect fit, q ~ 1
+    s, t, q = ssi_align_quality(gt * 2.0 + 3.0, gt, v)
+    np.testing.assert_allclose(np.asarray(q)[:, 0, 0], 1.0, atol=1e-4)
+    # independent noise: q ~ 0
+    noise = jnp.asarray(rng.uniform(0, 32, gt.shape).astype(np.float32))
+    _, _, q0 = ssi_align_quality(noise, gt, v)
+    assert float(np.asarray(q0).max()) < 0.1
+    # below min_support there is nothing to judge: trust-by-default
+    few = jnp.zeros_like(gt).at[:, :2, :3].set(1.0)
+    _, _, q1 = ssi_align_quality(noise, gt, few, min_support=32.0)
+    np.testing.assert_allclose(np.asarray(q1)[:, 0, 0], 1.0)
+
+
+def test_bad_mono_guide_degrades_to_stereo_only():
+    """Trust gate (stages/depth.py): a guidance net whose output cannot
+    explain the confident SGM structure must not pollute the frame --
+    the confidence blend with a GARBAGE mono guide should stay close to
+    the stereo-only output on its valid pixels."""
+    from video3d_tpu.models.guidance import GuidanceFn
+    from video3d_tpu.ops.stereo import SGBMParams
+    from video3d_tpu.stages.depth import depth_batch_pipeline
+
+    rng = np.random.default_rng(3)
+    h, weye, shift = 48, 128, 6
+    base = rng.uniform(0, 255, (h, weye + shift)).astype(np.float32)
+    import scipy.ndimage as ndi
+
+    base = ndi.gaussian_filter(base, 1.5)
+    base = (base - base.min()) / (np.ptp(base) + 1e-6) * 255
+    left = base[:, shift:]
+    right = base[:, :weye]
+    sbs = np.concatenate([left, right], axis=1)
+    frames = np.repeat(
+        np.stack([sbs, sbs])[..., None], 3, axis=-1
+    ).astype(np.uint8)
+
+    params = SGBMParams(num_disparities=16)
+    kw = dict(params=params, unsqueeze=False, normalize="fixed",
+              apply_speckle=False)
+    stereo_only = np.asarray(depth_batch_pipeline(jnp.asarray(frames), **kw))
+
+    def garbage(p, left_rgb):
+        # anti-structured guide: random per-pixel noise
+        return (left_rgb[..., 0] * 7919.0) % 13.0
+
+    g = GuidanceFn(garbage, params={"none": jnp.zeros(())})
+    hybrid = np.asarray(depth_batch_pipeline(
+        jnp.asarray(frames), guidance_fn=g, guidance_params=g.params,
+        blend="confidence", **kw))
+    valid = stereo_only > 0
+    diff = np.abs(hybrid.astype(np.int64) - stereo_only.astype(np.int64))
+    # uint16 scale: 1 disparity = 65535/16 ~ 4096 counts; stay within
+    # a small fraction of a disparity on stereo-valid pixels
+    assert np.median(diff[valid]) < 2048, np.median(diff[valid])

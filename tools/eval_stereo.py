@@ -223,15 +223,22 @@ def evaluate_set(name, left, right, gt, args, params, cre_fn,
         sgm = preds["sgm"]
         conf = np.where(sgm != invalid, preds.pop("_conf"), 0.0) \
             if "_conf" in preds else np.where(sgm != invalid, 0.7, 0.0)
-        s, t = ssi_align(jnp.asarray(raw),
-                         jnp.asarray(np.maximum(sgm, 0.0)),
-                         jnp.asarray(conf))
-        s, t = np.asarray(s), np.asarray(t)
+        from video3d_tpu.models.mono import ssi_align_quality
+
+        s, t, q = ssi_align_quality(jnp.asarray(raw),
+                                    jnp.asarray(np.maximum(sgm, 0.0)),
+                                    jnp.asarray(conf))
+        s, t, q = np.asarray(s), np.asarray(t), np.asarray(q)
         guide = np.where(s > 0.0,
                          np.clip(raw * s + t, 0.0, args.max_disparity),
                          guide_mm)
-        preds["hybrid_conf_mono"] = (conf * np.maximum(sgm, 0.0)
-                                     + (1 - conf) * guide)
+        # per-frame trust gate, mirroring stages/depth.py: a guide that
+        # cannot explain the confident stereo structure is not handed
+        # the unconfident pixels
+        trust = np.where(s > 0.0, q, 0.0)
+        conf_eff = 1.0 - (1.0 - conf) * trust
+        preds["hybrid_conf_mono"] = (conf_eff * np.maximum(sgm, 0.0)
+                                     + (1 - conf_eff) * guide)
     lowtex = low_texture_mask(gl)
     print(f"\n[{name}] {left.shape[0]} scenes "
           f"{left.shape[1]}x{left.shape[2]}, "

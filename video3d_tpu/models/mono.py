@@ -113,6 +113,40 @@ def ssi_align(pred: jnp.ndarray, target: jnp.ndarray,
     return s[:, None, None], t[:, None, None]
 
 
+def ssi_align_quality(
+    pred: jnp.ndarray, target: jnp.ndarray, valid: jnp.ndarray,
+    min_support: float = 32.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """:func:`ssi_align` plus a per-image fit-quality score q in [0, 1].
+
+    q is the weighted Pearson r^2 between pred and target over the
+    support -- how much of the confident-stereo structure the monocular
+    guide actually explains after its best affine map. The guidance
+    blend uses it as a TRUST factor: a guide that cannot reproduce the
+    parts of the scene stereo is sure about should not be handed the
+    parts stereo is unsure about. With less than ``min_support``
+    weighted pixels there is nothing to judge against and q = 1
+    (trust-by-default, the pre-gate behavior).
+    """
+    v = valid
+    n = jnp.maximum(jnp.sum(v, axis=(-2, -1)), 1.0)
+    sp = jnp.sum(pred * v, axis=(-2, -1))
+    st = jnp.sum(target * v, axis=(-2, -1))
+    spp = jnp.sum(pred * pred * v, axis=(-2, -1))
+    stt = jnp.sum(target * target * v, axis=(-2, -1))
+    spt = jnp.sum(pred * target * v, axis=(-2, -1))
+    det = n * spp - sp * sp
+    s = jnp.where(jnp.abs(det) > 1e-6, (n * spt - sp * st) / det, 1.0)
+    t = (st - s * sp) / n
+    cov = n * spt - sp * st
+    var_t = n * stt - st * st
+    denom = det * var_t
+    q = jnp.where(denom > 1e-6, cov * cov / jnp.maximum(denom, 1e-6), 0.0)
+    q = jnp.clip(q, 0.0, 1.0)
+    q = jnp.where(n >= min_support, q, 1.0)
+    return s[:, None, None], t[:, None, None], q[:, None, None]
+
+
 def ssi_l1_loss(pred: jnp.ndarray, target: jnp.ndarray,
                 valid: jnp.ndarray) -> jnp.ndarray:
     s, t = ssi_align(pred, target, valid)

@@ -115,6 +115,7 @@ def depth_batch_pipeline(
                          return_margin=want_margin)
     disp, margin = res if want_margin else (res, None)
 
+    guide_trust = None
     if guidance_fn is not None:
         if getattr(guidance_fn, "stereo", False):
             # stereo guidance (e.g. CREStereo) predicts true disparity in
@@ -150,15 +151,25 @@ def depth_batch_pipeline(
                 # units. Degenerate fits (flat mono, no confident
                 # stereo, anti-correlated s<=0) fall back to the
                 # reference min-max contract.
-                from video3d_tpu.models.mono import ssi_align
+                from video3d_tpu.models.mono import ssi_align_quality
 
                 conf_w = jnp.where(
                     disp > float(params.min_disparity) - 0.5, margin, 0.0
                 )
-                s, t = ssi_align(mono, jnp.maximum(disp, 0.0), conf_w)
+                s, t, q = ssi_align_quality(
+                    mono, jnp.maximum(disp, 0.0), conf_w
+                )
                 g_ssi = jnp.clip(mono * s + t, 0.0,
                                  float(params.num_disparities))
                 guide = jnp.where(s > 0.0, g_ssi, guide)
+                # per-frame trust: how much confident-stereo structure
+                # the mono guide explains (r^2 of the fit). A guide
+                # that cannot reproduce what stereo is SURE about is
+                # not handed what stereo is UNSURE about; at q=0 the
+                # frame degrades to stereo-only (holes -> 0, the
+                # reference's own invalid-pixel value) instead of
+                # being polluted by a bad guide everywhere.
+                guide_trust = jnp.where(s > 0.0, q, 0.0)
         if blend == "confidence":
             # confidence-weighted mixing (default): the stereo weight per
             # pixel is the texture-gated SGM uniqueness margin
@@ -173,6 +184,11 @@ def depth_batch_pipeline(
             # blend='fixed' restores reference parity.
             conf = jnp.where(disp > float(params.min_disparity) - 0.5,
                              margin, 0.0)  # invalid stereo -> guidance
+            if guide_trust is not None:
+                # scale the guidance takeover by the per-frame fit
+                # trust (see ssi_align_quality): trust 1 = unchanged,
+                # trust 0 = stereo-only
+                conf = 1.0 - (1.0 - conf) * guide_trust
             disp = conf * jnp.maximum(disp, 0.0) + (1.0 - conf) * guide
         else:
             # reference blend contract 0.7/0.3 (depth.py:358-363);
