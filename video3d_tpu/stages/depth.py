@@ -622,7 +622,10 @@ class StereoDepthExtractor:
         temporal smoother at every cut — exactly where temporal
         smoothing must not leak (the reference smooths blindly across
         cuts, depth.py:399-407).  Distinct D values are multiples of 16,
-        so at most D_max/16 programs ever compile.
+        so at most D_max/16 programs ever compile.  Cost: one extra
+        decode pass for the planner (host-IO-bound; the 8x8-strided
+        luma diff is trivia next to the decode itself) before
+        processing starts.
         """
         import dataclasses
         import hashlib
