@@ -305,6 +305,8 @@ def lr_consistency_clip(args, params, cre_fn):
     left_m = right[:, :, ::-1].copy()
     right_m = left[:, :, ::-1].copy()
     preds_r, _ = compute_preds(left_m, right_m, args, params, cre_fn)
+    preds_l.pop("_conf", None)  # internal aux, not a method row
+    preds_r.pop("_conf", None)
 
     invalid = float(params.min_disparity - 1)
     h, w = left.shape[1], left.shape[2]
