@@ -149,3 +149,51 @@ def test_serve_multichip_fanout(tmp_path):
         assert resp2["ok"] and resp2["cache_dir"] == str(fan_dir)
     finally:
         _stop_server(sock, proc)
+
+
+def test_serve_async_jobs(tmp_path):
+    """Async submit returns immediately; job_status walks queued ->
+    running -> done with the sync response under 'result'; 'jobs'
+    lists it; unknown ids error."""
+    video = tmp_path / "sbs.mp4"
+    make_sbs_video(video, n_frames=6, shift=4)
+    sock, proc = _launch_server(tmp_path)
+    try:
+        sub = _client(sock, {"video": str(video), "max_frames": 4,
+                             "async": True})
+        assert sub["ok"] and sub["state"] == "queued"
+        jid = sub["job_id"]
+
+        deadline = time.time() + 240
+        st = None
+        while time.time() < deadline:
+            st = _client(sock, {"cmd": "job_status", "job_id": jid})
+            assert st["ok"], st
+            if st["state"] in ("done", "error"):
+                break
+            time.sleep(0.5)
+        assert st["state"] == "done", st
+        res = st["result"]
+        assert res["ok"] and res["frames"] == 4
+        assert Path(res["cache_dir"]).is_dir()
+
+        listing = _client(sock, {"cmd": "jobs"})
+        assert listing["ok"]
+        assert any(j["job_id"] == jid and j["state"] == "done"
+                   for j in listing["jobs"])
+
+        bad = _client(sock, {"cmd": "job_status", "job_id": "nope"})
+        assert not bad["ok"] and "unknown job_id" in bad["error"]
+
+        # async error path: bad video lands in state=error
+        sub2 = _client(sock, {"video": "/nonexistent.mp4", "async": True})
+        jid2 = sub2["job_id"]
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            st2 = _client(sock, {"cmd": "job_status", "job_id": jid2})
+            if st2["state"] in ("done", "error"):
+                break
+            time.sleep(0.2)
+        assert st2["state"] == "error" and not st2["result"]["ok"]
+    finally:
+        _stop_server(sock, proc)

@@ -24,6 +24,14 @@ on threads, so small jobs run concurrently on different chips while
 ``ping``/``status`` stay responsive; jobs queue on the device pool when
 the pod is busy.
 
+Async jobs: add ``"async": true`` to a job request and the server
+replies immediately with ``{"ok": true, "job_id": "...", "state":
+"queued"}``; the job runs on a worker thread (queueing on the device
+pool like any other). Poll with ``{"cmd": "job_status", "job_id":
+"..."}`` -- ``state`` walks queued -> running -> done|error and the
+final response appears under ``"result"``; ``{"cmd": "jobs"}`` lists
+all jobs this server has seen.
+
 Also usable as a client: ``video-3d-serve --submit job.json`` (or
 ``--submit -`` reading JSON from stdin) sends one request and prints the
 response. ``{"cmd": "ping"}`` health-checks; ``{"cmd": "status"}``
@@ -159,6 +167,74 @@ def main(argv=None) -> int:
     if sock_path.exists():
         sock_path.unlink()
 
+    import itertools
+    import threading
+
+    jobs: dict = {}  # job_id -> {"state", "submitted", "result"?}
+    jobs_lock = threading.Lock()
+    job_seq = itertools.count(1)
+
+    def execute(req: dict) -> dict:
+        """Run one depth job to completion; returns the response dict.
+        Raises on invalid requests (validated BEFORE any state is
+        touched)."""
+        t0 = time.time()
+        ts = req.get("temporal_smooth")
+        if ts is not None and ts not in ("none", "median", "flow"):
+            raise ValueError(f"bad temporal_smooth: {ts}")
+        if "video" not in req:
+            raise ValueError("request missing 'video'")
+        want = int(req.get("devices", fanout_cap))
+        if want < 1:
+            raise ValueError(f"bad devices: {want}")
+        # per-job options go on a shallow copy -- concurrent jobs must
+        # not see each other's overrides (the server object itself is
+        # never mutated after boot)
+        job_ex = extractor
+        if req.get("work_dir") or ts is not None:
+            job_ex = copy.copy(extractor)
+            if req.get("work_dir"):
+                job_ex.work_dir = Path(req["work_dir"])
+                job_ex.work_dir.mkdir(parents=True, exist_ok=True)
+            if ts is not None:
+                job_ex.temporal_smooth = ts
+                job_ex.temporal_median = ts == "median"
+        devs = pool.acquire(min(want, fanout_cap))
+        try:
+            cache = job_ex.process_video_sbs_fanout(
+                req["video"],
+                devs,
+                start_frame=int(req.get("start_frame", 0)),
+                max_frames=req.get("max_frames"),
+                force=bool(req.get("force", False)),
+            )
+        finally:
+            pool.release(devs)
+        n = len(list(Path(cache).glob("depth_*.png")))
+        return {
+            "ok": True,
+            "cache_dir": str(cache),
+            "frames": n,
+            "seconds": round(time.time() - t0, 3),
+            "devices_used": len(devs),
+        }
+
+    def run_async(job_id: str, req: dict) -> None:
+        with jobs_lock:
+            jobs[job_id]["state"] = "running"
+        try:
+            result = execute(req)
+        except Exception as e:
+            with jobs_lock:
+                jobs[job_id].update(
+                    state="error",
+                    result={"ok": False,
+                            "error": f"{type(e).__name__}: {e}"},
+                )
+            return
+        with jobs_lock:
+            jobs[job_id].update(state="done", result=result)
+
     class Handler(socketserver.StreamRequestHandler):
         def handle(self):
             line = self.rfile.readline()
@@ -173,59 +249,57 @@ def main(argv=None) -> int:
                 self._reply({"ok": True, "pong": True})
                 return
             if req.get("cmd") == "status":
+                with jobs_lock:
+                    active = sum(
+                        1 for j in jobs.values()
+                        if j["state"] in ("queued", "running")
+                    )
                 self._reply({
                     "ok": True,
                     "devices_total": pool.total,
                     "devices_free": pool.free(),
                     "fanout": fanout_cap,
+                    "jobs_active": active,
                 })
+                return
+            if req.get("cmd") == "job_status":
+                with jobs_lock:
+                    job = jobs.get(req.get("job_id"))
+                    job = dict(job) if job else None
+                if job is None:
+                    self._reply({"ok": False,
+                                 "error": f"unknown job_id: "
+                                          f"{req.get('job_id')}"})
+                else:
+                    self._reply({"ok": True,
+                                 "job_id": req["job_id"], **job})
+                return
+            if req.get("cmd") == "jobs":
+                with jobs_lock:
+                    listing = [
+                        {"job_id": k, "state": v["state"],
+                         "submitted": v["submitted"]}
+                        for k, v in jobs.items()
+                    ]
+                self._reply({"ok": True, "jobs": listing})
                 return
             if req.get("cmd") == "shutdown":
                 self._reply({"ok": True, "stopping": True})
                 self.server._shutdown_requested = True
                 return
+            if req.get("async"):
+                job_id = f"job-{next(job_seq)}"
+                with jobs_lock:
+                    jobs[job_id] = {"state": "queued",
+                                    "submitted": round(time.time(), 3)}
+                threading.Thread(
+                    target=run_async, args=(job_id, req), daemon=True
+                ).start()
+                self._reply({"ok": True, "job_id": job_id,
+                             "state": "queued"})
+                return
             try:
-                t0 = time.time()
-                # Validate the whole request BEFORE any state is touched.
-                ts = req.get("temporal_smooth")
-                if ts is not None and ts not in ("none", "median", "flow"):
-                    raise ValueError(f"bad temporal_smooth: {ts}")
-                if "video" not in req:
-                    raise ValueError("request missing 'video'")
-                want = int(req.get("devices", fanout_cap))
-                if want < 1:
-                    raise ValueError(f"bad devices: {want}")
-                # per-job options go on a shallow copy -- concurrent jobs
-                # must not see each other's overrides (the server object
-                # itself is never mutated after boot)
-                job_ex = extractor
-                if req.get("work_dir") or ts is not None:
-                    job_ex = copy.copy(extractor)
-                    if req.get("work_dir"):
-                        job_ex.work_dir = Path(req["work_dir"])
-                        job_ex.work_dir.mkdir(parents=True, exist_ok=True)
-                    if ts is not None:
-                        job_ex.temporal_smooth = ts
-                        job_ex.temporal_median = ts == "median"
-                devs = pool.acquire(min(want, fanout_cap))
-                try:
-                    cache = job_ex.process_video_sbs_fanout(
-                        req["video"],
-                        devs,
-                        start_frame=int(req.get("start_frame", 0)),
-                        max_frames=req.get("max_frames"),
-                        force=bool(req.get("force", False)),
-                    )
-                finally:
-                    pool.release(devs)
-                n = len(list(Path(cache).glob("depth_*.png")))
-                self._reply({
-                    "ok": True,
-                    "cache_dir": str(cache),
-                    "frames": n,
-                    "seconds": round(time.time() - t0, 3),
-                    "devices_used": len(devs),
-                })
+                self._reply(execute(req))
             except Exception as e:  # report, keep serving
                 self._reply({"ok": False, "error": f"{type(e).__name__}: {e}"})
 
