@@ -37,6 +37,7 @@ from video3d_tpu.core.depthio import (
     list_depth_frames,
     DepthMapWriter,
 )
+from video3d_tpu.core.shots import detect_shots
 
 __all__ = [
     "get_video_info",
@@ -57,4 +58,5 @@ __all__ = [
     "load_depth_png16",
     "list_depth_frames",
     "DepthMapWriter",
+    "detect_shots",
 ]
