@@ -146,7 +146,7 @@ def conf_trust_blend(sgm, conf, guide, invalid):
     nearby confident-stereo structure."""
     import scipy.ndimage as ndi
 
-    agree = np.where(np.abs(guide - np.maximum(sgm, 0.0)) <= 1.5,
+    agree = np.where(np.abs(guide - np.maximum(sgm, 0.0)) <= 2.0,
                      conf, 0.0)
     mass = conf.sum(axis=(-2, -1), keepdims=True)
     qf = np.where(mass >= 32.0,

@@ -188,7 +188,7 @@ def depth_batch_pipeline(
             from video3d_tpu.ops.boxsum import box_sum_2d
 
             stereo_pos = jnp.maximum(disp, 0.0)
-            agree = jnp.where(jnp.abs(guide - stereo_pos) <= 1.5,
+            agree = jnp.where(jnp.abs(guide - stereo_pos) <= 2.0,
                               conf, 0.0)
             conf_mass = jnp.sum(conf, axis=(-2, -1), keepdims=True)
             q_frame = jnp.where(
