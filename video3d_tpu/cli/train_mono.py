@@ -25,7 +25,8 @@ from video3d_tpu.cli.train_crestereo import (
 
 
 def mono_cue_batch(rng: np.random.Generator, batch: int, h: int, w: int,
-                   max_disparity: int):
+                   max_disparity: int, p_texgrad: float = 0.85,
+                   p_defocus: float = 0.85, p_haze: float = 0.85):
     """Perceptual-cue curriculum for monocular distillation.
 
     The stereo curricula (v1/v2) draw texture and disparity
@@ -70,9 +71,9 @@ def mono_cue_batch(rng: np.random.Generator, batch: int, h: int, w: int,
         d_near = float(rng.uniform(max_disparity * 0.55,
                                    max_disparity - 1.0))
         y_h = float(rng.uniform(0.15, 0.45)) * h  # horizon row
-        use_texgrad = rng.random() > 0.15
-        use_defocus = rng.random() > 0.15
-        use_haze = rng.random() > 0.15
+        use_texgrad = rng.random() < p_texgrad
+        use_defocus = rng.random() < p_defocus
+        use_haze = rng.random() < p_haze
 
         # ground plane: d linear in y below the horizon (true for a
         # plane under perspective since d ~ 1/Z ~ y - y_horizon); the
