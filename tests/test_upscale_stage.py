@@ -180,3 +180,35 @@ def test_upscale_stage_artifacts(tmp_path):
     assert len(pngs) == 5
     d = load16(pngs[0])
     assert d.dtype == np.uint16 and d.shape == (64, 128)
+
+
+def test_adaptive_upsample_flat_depth_equals_plain():
+    """Where depth has zero gradient the agreement weight is 0, so the
+    adaptive mix must reduce to plain interpolation exactly."""
+    import jax.numpy as jnp
+
+    from video3d_tpu.ops.guided import adaptive_upsample, plain_upsample
+
+    rng = np.random.default_rng(0)
+    depth = jnp.full((2, 16, 32), 30000.0)
+    guide = jnp.asarray(
+        rng.uniform(0, 255, (2, 64, 128, 3)).astype(np.float32))
+    ada = np.asarray(adaptive_upsample(depth, guide, 64, 128, radius=1))
+    plain = np.asarray(plain_upsample(depth, 64, 128))
+    np.testing.assert_allclose(ada, plain, atol=1e-2)
+
+
+def test_adaptive_stage_runs(tmp_path):
+    depth_dir = tmp_path / "depth_cafebabe00000001"
+    depth_dir.mkdir()
+    rng = np.random.default_rng(3)
+    for i in range(3):
+        d = (rng.uniform(0, 65535, size=(32, 64))).astype(np.uint16)
+        save_depth_png16(depth_dir / depth_frame_name(i), d)
+    video_4k = tmp_path / "movie_4k.mp4"
+    make_test_video(video_4k, n_frames=3, width=128, height=64, fps=24.0)
+
+    up = DepthUpscaler(work_dir=str(tmp_path / "out"), method="adaptive",
+                       batch_size=2)
+    out = up.process_depth_upscaling(str(depth_dir), str(video_4k))
+    assert get_video_info(str(out))["frames"] == 3

@@ -50,7 +50,11 @@ def main() -> None:
     import scipy.ndimage as ndi
 
     from video3d_tpu.cli.train_mono import mono_cue_batch
-    from video3d_tpu.ops.guided import guided_upsample, plain_upsample
+    from video3d_tpu.ops.guided import (
+        adaptive_upsample,
+        guided_upsample,
+        plain_upsample,
+    )
     from video3d_tpu.ops.image import resize2d
 
     depth_h = args.h // args.scale
@@ -117,6 +121,8 @@ def main() -> None:
             "guided_color": guided_upsample(lo, guide, args.h, args.w,
                                             radius=radius, eps=args.eps,
                                             guide_mode="color"),
+            "adaptive": adaptive_upsample(lo, guide, args.h, args.w,
+                                          radius=radius, eps=args.eps),
         }
 
         # depth-edge band: dilated GT gradient mask (where interpolation

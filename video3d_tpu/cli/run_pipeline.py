@@ -26,7 +26,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--guidance", choices=["none", "dpt", "crestereo", "mono"],
                    default="none",
                    help="Neural guidance backend for the depth stage")
-    p.add_argument("--upscale-method", choices=["guided", "scale"],
+    p.add_argument("--upscale-method", choices=["guided", "adaptive", "scale"],
                    default="guided")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--min-correlation", type=float, default=0.6,

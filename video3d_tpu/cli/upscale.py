@@ -25,7 +25,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--work-dir", default="temp_upscale")
     p.add_argument("--output", default=None,
                    help="Output path (default: depth_4k_<dirname>.mp4)")
-    p.add_argument("--method", choices=["guided", "scale"], default="guided")
+    p.add_argument("--method", choices=["guided", "adaptive", "scale"], default="guided")
     p.add_argument("--guide-mode", choices=["gray", "color"], default="gray",
                    help="Guided-filter guide: luma (fast) or full RGB "
                    "covariance (also preserves iso-luminant color edges)")

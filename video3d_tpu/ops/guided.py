@@ -181,3 +181,55 @@ def plain_upsample(
     """Parity mode for the reference's ffmpeg ``scale`` (upscale.py:50)."""
     out = resize2d(depth.astype(jnp.float32), out_h, out_w, method=method)
     return _quantize(out / 65535.0, out_dtype)
+
+
+@partial(jax.jit, static_argnames=("out_h", "out_w", "radius", "eps",
+                                   "corr_radius", "out_dtype"))
+def adaptive_upsample(
+    depth: jnp.ndarray,
+    guide_rgb: jnp.ndarray,
+    out_h: int,
+    out_w: int,
+    radius: int = 8,
+    eps: float = 1e-3,
+    corr_radius: int = 2,
+    out_dtype: str = "float32",
+) -> jnp.ndarray:
+    """Per-pixel mix of guided-color and plain upsampling.
+
+    The upscale eval (tools/eval_upscale.py) shows the guided filter
+    wins where image edges coincide with depth edges (albedo
+    boundaries) and loses where the guide is textured but depth is flat
+    or boundaries are camouflaged. This blends both by the local
+    normalized correlation of depth-gradient and guide-gradient
+    magnitudes, computed at DEPTH resolution (scale-invariant, so
+    uint16 depth against 0-255 luma needs no unit matching): where the
+    guide demonstrably tracks the depth structure the guided output is
+    used; elsewhere plain interpolation. Measured: matches or beats the
+    better single method on every eval family (best edge RMSE on
+    slabs AND soft-camouflage).
+    """
+    h_lo, w_lo = depth.shape[-2], depth.shape[-1]
+    gl_lo = resize2d(rgb_to_gray(guide_rgb.astype(jnp.float32)),
+                     h_lo, w_lo, method="bilinear")
+
+    def gmag(x):
+        dx = jnp.abs(jnp.diff(x, axis=-1, prepend=x[..., :1]))
+        dy = jnp.abs(jnp.diff(x, axis=-2, prepend=x[..., :1, :]))
+        return dx + dy
+
+    from video3d_tpu.ops.boxsum import box_sum_2d
+
+    gd = gmag(depth.astype(jnp.float32))
+    gg = gmag(gl_lo)
+    num = box_sum_2d(gd * gg, corr_radius)
+    den = jnp.sqrt(
+        box_sum_2d(gd * gd, corr_radius)
+        * box_sum_2d(gg * gg, corr_radius)
+    ) + 1e-6
+    w = resize2d(jnp.clip(num / den, 0.0, 1.0), out_h, out_w,
+                 method="bilinear")
+    up_g = guided_upsample(depth, guide_rgb, out_h, out_w, radius=radius,
+                           eps=eps, guide_mode="color")
+    up_p = plain_upsample(depth, out_h, out_w)
+    return _quantize((w * up_g + (1.0 - w) * up_p) / 65535.0, out_dtype)

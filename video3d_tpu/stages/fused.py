@@ -28,7 +28,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from video3d_tpu.core import VideoReader, VideoWriter, get_video_info
-from video3d_tpu.ops.guided import guided_upsample, plain_upsample
+from video3d_tpu.ops.guided import (
+    adaptive_upsample,
+    guided_upsample,
+    plain_upsample,
+)
 from video3d_tpu.stages.depth import StereoDepthExtractor, depth_batch_pipeline
 
 
@@ -109,7 +113,7 @@ def run_fused_depth_upscale(
         batch_size=batch,
     )
     guide = None
-    if upscale_method == "guided":
+    if upscale_method in ("guided", "adaptive"):
         guide = _GuideFIFO(
             iter(
                 VideoReader(
@@ -155,6 +159,21 @@ def run_fused_depth_upscale(
     def upscale_batch(depth_dev, n_valid):
         """Depth batch (device uint16) -> 4K batch (device uint8)."""
         g = guide.take(n_valid) if guide is not None else None
+        if g is not None and upscale_method == "adaptive":
+            if n_valid < depth_dev.shape[0]:
+                pad = np.zeros(
+                    (depth_dev.shape[0] - n_valid,) + g.shape[1:], g.dtype
+                )
+                g = np.concatenate([g, pad])
+            return adaptive_upsample(
+                depth_dev,
+                jnp.asarray(g),
+                out_h,
+                out_w,
+                radius=radius,
+                eps=eps,
+                out_dtype="uint8",
+            )
         if g is not None:
             if guide_mode == "gray":
                 import cv2

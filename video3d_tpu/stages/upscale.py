@@ -7,7 +7,11 @@ encodes H.264 at its fps. Two methods:
   device, guided by the 4K RGB frames (the behavior the reference README
   promises but never shipped, SURVEY.md SS2.4-3);
 * ``method='scale'`` -- plain resize parity with the reference's ffmpeg
-  ``scale`` path (upscale.py:50).
+  ``scale`` path (upscale.py:50);
+* ``method='adaptive'`` -- per-pixel mix of guided-color and plain by
+  local depth/guide edge agreement (ops.guided.adaptive_upsample;
+  matches or beats the better single method on every eval family of
+  tools/eval_upscale.py).
 
 Encode contract matches upscale.py:47-63: h264, crf=18, preset=medium,
 yuv420p, fps from the 4K source; output ``depth_4k_<dirname>.mp4``
@@ -32,7 +36,11 @@ from video3d_tpu.core import (
     list_depth_frames,
     load_depth_png16,
 )
-from video3d_tpu.ops.guided import guided_upsample, plain_upsample
+from video3d_tpu.ops.guided import (
+    adaptive_upsample,
+    guided_upsample,
+    plain_upsample,
+)
 
 
 class DepthUpscaler:
@@ -108,7 +116,7 @@ class DepthUpscaler:
             f"@ {fps:.3f} fps ({self.method})"
         )
         guide_reader = None
-        if self.method == "guided":
+        if self.method in ("guided", "adaptive"):
             guide_reader = iter(
                 VideoReader(
                     str(video_4k_path),
@@ -158,12 +166,23 @@ class DepthUpscaler:
                 # device-side quantization: read back 1-2 bytes/pixel
                 # instead of f32 (transfer, not compute, bounds this stage)
                 out_dtype = "uint16" if png16_out else "uint8"
-                if self.method == "guided":
+                if self.method in ("guided", "adaptive"):
                     try:
                         guide, g_valid = next(guide_reader)
                     except StopIteration:
                         guide, g_valid = None, 0
-                    if guide is not None and g_valid >= valid:
+                    if guide is not None and g_valid >= valid \
+                            and self.method == "adaptive":
+                        up = adaptive_upsample(
+                            jnp.asarray(depth),
+                            jnp.asarray(guide),
+                            out_h,
+                            out_w,
+                            radius=self.radius,
+                            eps=self.eps,
+                            out_dtype=out_dtype,
+                        )
+                    elif guide is not None and g_valid >= valid:
                         if self.guide_mode == "gray":
                             # luma on host (SIMD cvtColor): uploads 1
                             # channel instead of 3
