@@ -44,6 +44,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "(depth.py:399-404)")
     p.add_argument("--no-speckle", action="store_true",
                    help="Skip speckle filtering")
+    p.add_argument("--fill-holes", action="store_true",
+                   help="Fill invalid pixels (occlusions, LR/uniqueness "
+                        "failures) with the background-extension "
+                        "occlusion fill (min of nearest valid left/"
+                        "right neighbor) before any guidance blend")
     p.add_argument("--auto-range", action="store_true",
                    help="Probe a frame sample and narrow the disparity "
                         "range to the content (SGM cost is linear in "
@@ -118,6 +123,7 @@ def main(argv=None) -> int:
         temporal_smooth=args.temporal_smooth,
         stereo_weight=args.guidance_weight,
         blend=args.blend,
+        fill_holes=args.fill_holes,
     )
     from video3d_tpu.utils.profiling import trace
 

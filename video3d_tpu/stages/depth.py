@@ -65,6 +65,7 @@ ALGO_VERSION = 2
         "stereo_weight",
         "blend",
         "norm_disparities",
+        "fill_holes",
     ),
 )
 def depth_batch_pipeline(
@@ -79,6 +80,7 @@ def depth_batch_pipeline(
     stereo_weight: float = STEREO_WEIGHT,
     blend: str = "confidence",
     norm_disparities: Optional[int] = None,
+    fill_holes: bool = False,
 ) -> jnp.ndarray:
     """uint8 SBS RGB batch (B, H, W, 3) -> uint16 depth batch (B, H, W').
 
@@ -114,6 +116,15 @@ def depth_batch_pipeline(
     res = sgbm_disparity(gl, gr, params, apply_speckle=apply_speckle,
                          return_margin=want_margin)
     disp, margin = res if want_margin else (res, None)
+
+    if fill_holes:
+        # background-extension occlusion fill (ops/fill.py). Runs
+        # BEFORE the guidance blend: the confidence margin at former
+        # holes stays ~0, so guidance still owns them when present;
+        # stereo-only output gains full coverage.
+        from video3d_tpu.ops.fill import fill_holes as _fill
+
+        disp = _fill(disp, float(params.min_disparity - 1))
 
     if guidance_fn is not None:
         if getattr(guidance_fn, "stereo", False):
@@ -256,6 +267,7 @@ class StereoDepthExtractor:
         temporal_smooth: Optional[str] = None,
         stereo_weight: float = STEREO_WEIGHT,
         blend: str = "confidence",
+        fill_holes: bool = False,
         params: SGBMParams = SGBMParams(),
     ):
         self.work_dir = create_work_directory(work_dir)
@@ -289,6 +301,7 @@ class StereoDepthExtractor:
         if blend not in ("confidence", "fixed"):
             raise ValueError(f"blend must be confidence|fixed: {blend}")
         self.blend = blend
+        self.fill_holes = bool(fill_holes)
         self.params = params
         self._guidance_fn: Optional[Callable] = None
         self._guidance_loaded = False
@@ -704,6 +717,8 @@ class StereoDepthExtractor:
                 self.blend == "confidence":
             # never alias round-2 caches computed with the fixed blend
             model_key += "+blend=conf"
+        if self.fill_holes:
+            model_key += "+fill"
         default_params = SGBMParams()
         if self.params != default_params:
             import dataclasses
@@ -834,6 +849,7 @@ class StereoDepthExtractor:
                     stereo_weight=self.stereo_weight,
                     blend=self.blend,
                     norm_disparities=self._norm_disparities,
+                    fill_holes=self.fill_holes,
                 )  # async dispatch; do host work before blocking on it
                 if want_guide:
                     depth, guide = depth
