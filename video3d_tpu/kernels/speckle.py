@@ -126,7 +126,12 @@ def _speckle_kernel(
         #    log2(w)+2 (radius 10 at the default min_region=100: 13
         #    rolls instead of 20). Exact: every value is an integer
         #    count <= 21*W, far under f32's 2^24 integer range.
-        use_prefix = 2 * radius > math.ceil(math.log2(w)) + 4
+        import os
+
+        use_prefix = (
+            2 * radius > math.ceil(math.log2(w)) + 4
+            and os.environ.get("VIDEO3D_TPU_SPECKLE_PREFIX", "1") == "1"
+        )
         for k in range(n_bands):
             for g in range(0, rr_rows, strip):
                 col = boxbuf_ref[k, g : g + strip, :]
