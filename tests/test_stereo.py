@@ -315,10 +315,20 @@ def test_confidence_blend_prefers_guidance_on_low_texture():
     frame = np.concatenate([left, right], axis=1)
     frames = np.repeat(frame[None, ..., None], 3, axis=-1).astype(np.uint8)
 
-    const_guide = 11.0  # "learned backend" says disparity 11 everywhere
+    # "learned backend": agrees with stereo (true shift 4) on the
+    # textured half, says 11 in the flat half -- a guide that earns
+    # TRUST on the confident pixels (the trust-gated blend hands it the
+    # unconfident flat region only because of that agreement; a guide
+    # contradicting stereo everywhere is now correctly frozen out, see
+    # test_mono.test_bad_mono_guide_degrades_to_stereo_only)
+    const_guide = 11.0
 
     def guidance_fn(left_rgb, right_rgb):
-        return jnp.full(left_rgb.shape[:-1], const_guide, jnp.float32)
+        cols = jnp.arange(left_rgb.shape[2])[None, None, :]
+        return jnp.where(cols < left_rgb.shape[2] // 2,
+                         jnp.float32(shift),
+                         jnp.float32(const_guide)
+                         ) * jnp.ones(left_rgb.shape[:-1], jnp.float32)
 
     # stereo-style guidance: predicts true disparity, bypasses the mono
     # per-frame normalization (which would map a constant to 0)
@@ -331,7 +341,16 @@ def test_confidence_blend_prefers_guidance_on_low_texture():
     )
     disp = np.asarray(out[0]).astype(np.float32) * 16.0 / 65535.0
 
-    # oracle: the same stereo + confidence the stage should have used
+    # oracle: the same stereo + trust-gated confidence blend the stage
+    # should have used (tools/eval_stereo.conf_trust_blend mirrors the
+    # pipeline exactly in the window interior)
+    import os as _os
+    import sys as _sys
+    _sys.path.insert(0, _os.path.join(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))),
+        "tools"))
+    from eval_stereo import conf_trust_blend
+
     gl = rgb_to_gray(jnp.asarray(frames[..., :w, :], jnp.float32))
     gr = rgb_to_gray(jnp.asarray(frames[..., w:, :], jnp.float32))
     sdisp, conf = sgbm_disparity(gl, gr, params, apply_speckle=False,
@@ -339,17 +358,31 @@ def test_confidence_blend_prefers_guidance_on_low_texture():
     sdisp = np.asarray(sdisp)[0]
     conf = np.where(sdisp > params.min_disparity - 0.5,
                     np.asarray(conf)[0], 0.0)
-    expect = conf * np.maximum(sdisp, 0.0) + (1.0 - conf) * const_guide
+    guide_arr = np.where(np.arange(w)[None, :] < w // 2,
+                         np.float32(shift), np.float32(const_guide)
+                         ) * np.ones((h, w), np.float32)
+    expect = conf_trust_blend(sdisp[None], conf[None], guide_arr[None],
+                              float(params.min_disparity - 1))[0]
 
-    # the pipeline output IS the confidence blend (quantization tol)
-    np.testing.assert_allclose(disp, np.minimum(expect, 16.0), atol=0.01)
+    # the pipeline output IS the trust-gated blend (quantization tol;
+    # interior only -- the numpy mirror's border handling differs)
+    interior = (slice(9, -9), slice(9, -9))
+    np.testing.assert_allclose(disp[interior],
+                               np.minimum(expect, 16.0)[interior],
+                               atol=0.05)
 
     # flat region (zero texture): confidence collapses to 0 and the
     # guidance takes over completely -- the round-2 failure mode was an
     # inverted margin signal here (smoothness penalty read as evidence)
     flat = (slice(10, -10), slice(w // 2 + 20, -10))
     assert conf[flat].max() < 0.05, conf[flat].max()
-    assert abs(disp[flat].mean() - const_guide) < 0.5, disp[flat].mean()
+    # the guide dominates the flat region. NOT full takeover: stereo's
+    # flat-region answer (valid disparity 0 at near-zero confidence)
+    # disagrees with the guide there, which costs the guide part of its
+    # frame-level trust -- by design, the gate only hands over what the
+    # guide has earned on judgeable pixels. Guide-dominance = the
+    # output sits far from stereo's 0, most of the way to the guide.
+    assert disp[flat].mean() > 0.55 * const_guide, disp[flat].mean()
 
     # textured region: real confidence mass exists, and wherever the
     # matcher is confident the output stays on the stereo answer

@@ -180,6 +180,10 @@ def compute_preds(left, right, args, params, cre_fn):
         jnp.asarray(gl), gr, params, apply_speckle=True, return_margin=True
     )
     preds["sgm"] = np.asarray(sgm_j)
+    from video3d_tpu.ops.fill import fill_holes
+
+    # --fill-holes contract: background-extension occlusion fill
+    preds["sgm_filled"] = np.asarray(fill_holes(sgm_j, invalid))
 
     if cre_fn is not None:
         cre = np.asarray(cre_fn(jnp.asarray(left), jnp.asarray(right)))
