@@ -106,6 +106,16 @@ def test_serve_ping_job_error_shutdown(server, tmp_path):
     )
     assert not badts["ok"] and "temporal_smooth" in badts["error"]
 
+    # per-job fill_holes: distinct cache key, default restored after
+    resp5 = _client(
+        sock, {"video": str(video), "max_frames": 4, "fill_holes": True}
+    )
+    assert resp5["ok"], resp5
+    assert resp5["cache_dir"] not in (resp["cache_dir"],
+                                      resp3["cache_dir"])
+    resp6 = _client(sock, {"video": str(video), "max_frames": 4})
+    assert resp6["ok"] and resp6["cache_dir"] == resp["cache_dir"]
+
 
 def test_serve_multichip_fanout(tmp_path):
     """One job sharded across a virtual 8-device mesh: the serve device

@@ -7,7 +7,8 @@ jobs submitted over a UNIX socket, line-delimited JSON:
 
     request:  {"video": "...", "max_frames": 100, "start_frame": 0,
                "force": false, "work_dir": "...",
-               "temporal_smooth": "none|median|flow", "devices": K}
+               "temporal_smooth": "none|median|flow", "devices": K,
+               "fill_holes": true}
               (work_dir / temporal_smooth / devices optional; a job's
               first use of a new temporal_smooth value compiles that
               variant once, then it stays hot)
@@ -182,6 +183,7 @@ def main(argv=None) -> int:
         ts = req.get("temporal_smooth")
         if ts is not None and ts not in ("none", "median", "flow"):
             raise ValueError(f"bad temporal_smooth: {ts}")
+        fh = req.get("fill_holes")
         if "video" not in req:
             raise ValueError("request missing 'video'")
         want = int(req.get("devices", fanout_cap))
@@ -191,7 +193,7 @@ def main(argv=None) -> int:
         # not see each other's overrides (the server object itself is
         # never mutated after boot)
         job_ex = extractor
-        if req.get("work_dir") or ts is not None:
+        if req.get("work_dir") or ts is not None or fh is not None:
             job_ex = copy.copy(extractor)
             if req.get("work_dir"):
                 job_ex.work_dir = Path(req["work_dir"])
@@ -199,6 +201,8 @@ def main(argv=None) -> int:
             if ts is not None:
                 job_ex.temporal_smooth = ts
                 job_ex.temporal_median = ts == "median"
+            if fh is not None:
+                job_ex.fill_holes = bool(fh)
         devs = pool.acquire(min(want, fanout_cap))
         try:
             cache = job_ex.process_video_sbs_fanout(
