@@ -192,10 +192,11 @@ def depth_batch_pipeline(
             # out-of-distribution guide fails this check exactly where
             # it would do damage and the frame degrades toward
             # stereo-only (holes -> 0, the reference's invalid value)
-            # instead of being polluted. Measured on the OOD eval with
-            # the bundled CREStereo: hybrid bad1 0.642 -> ~0.40, bad3
-            # 0.441 -> ~0.26 (beats SGM's 0.31) while the in-dist win
-            # is preserved (bad1 0.076 -> 0.082).
+            # instead of being polluted. Measured (eval_stereo.json,
+            # bundled CREStereo, 2 px agreement tolerance): OOD hybrid
+            # bad1 0.62 -> 0.404 / bad3 0.44 -> 0.272 (beats SGM's
+            # 0.345 at full coverage) while the in-dist win holds
+            # (bad1 0.094, best of all methods).
             from video3d_tpu.ops.boxsum import box_sum_2d
 
             stereo_pos = jnp.maximum(disp, 0.0)
