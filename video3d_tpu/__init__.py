@@ -6,7 +6,7 @@ SURVEY.md SS2.4-1; here every export resolves). Stage classes import
 lazily so that ``import video3d_tpu`` stays cheap and JAX-free.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "VideoAligner",
