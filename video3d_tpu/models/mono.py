@@ -233,16 +233,24 @@ def load_checkpoint(path: str):
     return _load(path)
 
 
-def make_mono_guidance(params_or_path, width: int = 32,
+def make_mono_guidance(params_or_path, width: int | None = None,
                        dtype=jnp.bfloat16):
     """Wrap a MonoDepthLite checkpoint as a mono guidance fn for the
     depth stage (same GuidanceFn contract as models/dpt.py:
-    (B, H, W, 3) left RGB -> (B, H, W) relative depth)."""
+    (B, H, W, 3) left RGB -> (B, H, W) relative depth).
+
+    ``width=None`` infers the model width from the checkpoint (the stem
+    conv's output channels), so checkpoints trained at any
+    ``--width`` load without configuration."""
     from video3d_tpu.models.guidance import GuidanceFn
 
-    model = MonoDepthLite(width=width)
     params = (load_checkpoint(params_or_path)
               if isinstance(params_or_path, str) else params_or_path)
+    if width is None:
+        stems = [a for p, a in jax.tree_util.tree_leaves_with_path(params)
+                 if a.ndim == 4 and a.shape[:3] == (3, 3, 3)]
+        width = int(stems[0].shape[-1]) if stems else 32
+    model = MonoDepthLite(width=width)
     params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
 
     def apply_fn(p, left_rgb: jnp.ndarray) -> jnp.ndarray:
