@@ -207,6 +207,55 @@ def test_depth_stage_flow_smoothing(tmp_path):
     assert plain._model_key() != ext._model_key()
 
 
+def test_depth_stage_flow_fine(tmp_path):
+    """--flow-scale 2 (half-res flow): runs end-to-end, keys a distinct
+    cache, returns a half-res guide from the pipeline, and rejects bad
+    scales."""
+    from tests.test_depth_stage import make_sbs_video
+    from video3d_tpu.core.cache import depth_frame_name
+    from video3d_tpu.ops.stereo import SGBMParams
+    from video3d_tpu.stages.depth import (
+        StereoDepthExtractor,
+        depth_batch_pipeline,
+    )
+
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 255, (2, 32, 128, 3), dtype=np.uint8)
+    _, guide = depth_batch_pipeline(
+        jnp.asarray(frames),
+        params=SGBMParams(num_disparities=16),
+        unsqueeze=False,
+        apply_speckle=False,
+        return_guide=True,
+        guide_scale=2,
+    )
+    assert guide.shape == (2, 16, 32)
+
+    video = tmp_path / "sbs.mp4"
+    make_sbs_video(video, n_frames=5, shift=6)
+    fine = StereoDepthExtractor(
+        work_dir=str(tmp_path / "work"),
+        batch_size=3,
+        unsqueeze_anamorphic=False,
+        apply_speckle=False,
+        temporal_smooth="flow",
+        flow_scale=2,
+    )
+    assert "+tflow@2" in fine._model_key()
+    cache = fine.process_video_sbs(str(video), max_frames=5)
+    for i in range(5):
+        assert (cache / depth_frame_name(i)).exists()
+    coarse = StereoDepthExtractor(
+        work_dir=str(tmp_path / "work"),
+        unsqueeze_anamorphic=False,
+        apply_speckle=False,
+        temporal_smooth="flow",
+    )
+    assert coarse._model_key() != fine._model_key()
+    with pytest.raises(ValueError):
+        StereoDepthExtractor(work_dir=str(tmp_path / "work"), flow_scale=3)
+
+
 def test_shift_warp_matches_gather_warp():
     """The gather-free production warp equals the map_coordinates
     reference for in-range flow (r covers the field)."""

@@ -111,14 +111,25 @@ def main() -> None:
                      noisy).astype(np.float32)
     d_scale = 65535.0 / args.max_disparity
     noisy16 = np.clip(noisy * d_scale, 0, 65535).astype(np.uint16)
-    guide = np.asarray(
-        resize2d(jnp.asarray(imgs), h // 4, w // 4, method="bilinear"))
+    from video3d_tpu.ops.flow import FlowEMAParams
+
+    guides = {
+        4: np.asarray(
+            resize2d(jnp.asarray(imgs), h // 4, w // 4, method="bilinear")),
+        2: np.asarray(
+            resize2d(jnp.asarray(imgs), h // 2, w // 2, method="bilinear")),
+    }
 
     def run_stream(kind):
         if kind == "none":
             return noisy16.astype(np.float32)
         med = TemporalMedianStream() if kind == "median" else None
-        ema = TemporalFlowEMAStream() if kind == "flow" else None
+        ema = None
+        if kind == "flow":
+            ema, guide = TemporalFlowEMAStream(), guides[4]
+        elif kind == "flow-fine":  # half-res flow, one extra level
+            ema = TemporalFlowEMAStream(FlowEMAParams(levels=4))
+            guide = guides[2]
         outs = []
         for i in range(0, T, args.batch):
             db = noisy16[i:i + args.batch]
@@ -142,7 +153,7 @@ def main() -> None:
         [ndi.binary_dilation(e, iterations=2) for e in moving_edges])
 
     table = {}
-    for kind in ("none", "median", "flow"):
+    for kind in ("none", "median", "flow", "flow-fine"):
         out = run_stream(kind) / d_scale
         assert out.shape[0] == T, (kind, out.shape)
         err = np.abs(out - gt)

@@ -82,6 +82,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(flicker removal), 'flow' = optical-flow-guided "
                         "EMA (stronger smoothing, motion-compensated, "
                         "scene-cut aware)")
+    p.add_argument("--flow-scale", type=int, default=4, choices=(2, 4),
+                   help="Flow-EMA motion-estimation granularity: the flow "
+                        "runs on a 1/N-resolution guide. 2 = finer motion "
+                        "edges (less ghosting on moving objects) at ~4x "
+                        "flow cost; 4 = throughput default")
     p.add_argument("--temporal-median", action="store_true",
                    help="Median-of-3 temporal smoothing over the frame "
                    "stream (stereo advantage the reference leaves unused, "
@@ -121,6 +126,7 @@ def main(argv=None) -> int:
         apply_speckle=not args.no_speckle,
         temporal_median=args.temporal_median,
         temporal_smooth=args.temporal_smooth,
+        flow_scale=args.flow_scale,
         stereo_weight=args.guidance_weight,
         blend=args.blend,
         fill_holes=args.fill_holes,

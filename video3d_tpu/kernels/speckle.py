@@ -122,15 +122,17 @@ def _speckle_kernel(
         # two formulations of the [x-r, x+r] lane-window sum:
         #  * direct: 2r masked rolls -- cheapest for small radii;
         #  * prefix: log2(w)-step inclusive scan + 2 rolls (window =
-        #    cs[x+r] - cs[x-r-1]) -- wins once 2r clearly exceeds
-        #    log2(w)+2 (radius 10 at the default min_region=100: 13
-        #    rolls instead of 20). Exact: every value is an integer
+        #    cs[x+r] - cs[x-r-1]). Exact: every value is an integer
         #    count <= 21*W, far under f32's 2^24 integer range.
+        #    MEASURED on v5e (2026-08): despite fewer rolls at radius 10
+        #    (13 vs 20), the scan's serial dependence loses ~8% vs the
+        #    independent masked rolls (1.16 vs 1.08 ms/frame full
+        #    speckle), so it is opt-in, kept for wider future windows.
         import os
 
         use_prefix = (
             2 * radius > math.ceil(math.log2(w)) + 4
-            and os.environ.get("VIDEO3D_TPU_SPECKLE_PREFIX", "1") == "1"
+            and os.environ.get("VIDEO3D_TPU_SPECKLE_PREFIX", "0") == "1"
         )
         for k in range(n_bands):
             for g in range(0, rr_rows, strip):

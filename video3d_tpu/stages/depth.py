@@ -62,6 +62,7 @@ ALGO_VERSION = 2
         "apply_speckle",
         "guidance_fn",
         "return_guide",
+        "guide_scale",
         "stereo_weight",
         "blend",
         "norm_disparities",
@@ -77,6 +78,7 @@ def depth_batch_pipeline(
     guidance_fn: Optional[Callable] = None,
     guidance_params=None,
     return_guide: bool = False,
+    guide_scale: int = 4,
     stereo_weight: float = STEREO_WEIGHT,
     blend: str = "confidence",
     norm_disparities: Optional[int] = None,
@@ -94,10 +96,12 @@ def depth_batch_pipeline(
     program as constants (models/guidance.py); when None, ``guidance_fn``
     may be a plain closure that carries its own weights.
 
-    ``return_guide``: also return the quarter-resolution left-eye
-    grayscale (B, ceil(H/4), ceil(W'/4)) float32 — the motion guide the
-    flow-EMA temporal smoother consumes (ops/flow.py), computed inside
-    the same program so no second decode/upload is needed.
+    ``return_guide``: also return the reduced-resolution left-eye
+    grayscale (B, ceil(H/s), ceil(W'/s)) float32 for s=``guide_scale``
+    — the motion guide the flow-EMA temporal smoother consumes
+    (ops/flow.py), computed inside the same program so no second
+    decode/upload is needed. Scale 4 is the throughput default; scale 2
+    halves the flow granularity (finer motion edges, ~4x flow cost).
     """
     left, right = split_sbs(frames)  # (B, H, W/2, 3) uint8
     left = left.astype(jnp.float32)
@@ -241,7 +245,8 @@ def depth_batch_pipeline(
         from video3d_tpu.ops.image import resize2d
 
         h, w = gl.shape[-2], gl.shape[-1]
-        guide = resize2d(gl, -(-h // 4), -(-w // 4), method="bilinear")
+        s = int(guide_scale)
+        guide = resize2d(gl, -(-h // s), -(-w // s), method="bilinear")
         return out, guide
     return out
 
@@ -266,6 +271,7 @@ class StereoDepthExtractor:
         apply_speckle: bool = True,
         temporal_median: bool = False,
         temporal_smooth: Optional[str] = None,
+        flow_scale: int = 4,
         stereo_weight: float = STEREO_WEIGHT,
         blend: str = "confidence",
         fill_holes: bool = False,
@@ -298,6 +304,12 @@ class StereoDepthExtractor:
             )
         self.temporal_smooth = temporal_smooth
         self.temporal_median = temporal_smooth == "median"
+        # flow granularity: motion is estimated on a 1/flow_scale guide,
+        # so edges in the smoothed stream are flow_scale-px quantized; 2
+        # halves the ghosting band around moving edges at ~4x flow cost
+        if flow_scale not in (2, 4):
+            raise ValueError(f"flow_scale must be 2 or 4: {flow_scale}")
+        self.flow_scale = int(flow_scale)
         self.stereo_weight = float(stereo_weight)
         if blend not in ("confidence", "fixed"):
             raise ValueError(f"blend must be confidence|fixed: {blend}")
@@ -710,6 +722,8 @@ class StereoDepthExtractor:
             model_key += "+tmedian"
         elif self.temporal_smooth == "flow":
             model_key += "+tflow"
+            if self.flow_scale != 4:
+                model_key += f"@{self.flow_scale}"
         if not self.apply_speckle:
             model_key += "+nospeckle"
         if self.stereo_weight != STEREO_WEIGHT:
@@ -813,9 +827,13 @@ class StereoDepthExtractor:
 
             smoother = TemporalMedianStream()
         elif self.temporal_smooth == "flow":
+            from video3d_tpu.ops.flow import FlowEMAParams
             from video3d_tpu.parallel.temporal import TemporalFlowEMAStream
 
-            smoother = TemporalFlowEMAStream()
+            # one extra pyramid level at flow_scale 2 keeps the coarsest
+            # level at the same absolute resolution as the default
+            smoother = TemporalFlowEMAStream(FlowEMAParams(
+                levels=3 + (self.flow_scale == 2)))
         with DepthMapWriter(cache) as writer:
             # one batch in flight: the previous batch's device->host
             # readback (+ PNG encode scheduling) overlaps the current
@@ -847,6 +865,7 @@ class StereoDepthExtractor:
                     guidance_fn=self._guidance_fn,
                     guidance_params=guidance_params,
                     return_guide=want_guide,
+                    guide_scale=self.flow_scale,
                     stereo_weight=self.stereo_weight,
                     blend=self.blend,
                     norm_disparities=self._norm_disparities,
