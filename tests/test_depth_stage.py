@@ -6,7 +6,9 @@ between eyes, asserting cache layout, idempotency and coarse numeric
 correctness of the recovered disparity.
 """
 
+import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tests.conftest import make_test_video
 from video3d_tpu.core.cache import depth_frame_name
@@ -205,3 +207,44 @@ def test_guidance_blend_weight():
     b = StereoDepthExtractor(work_dir="/tmp/bw2", stereo_weight=0.5)
     assert a._model_key() != b._model_key()
     assert "+sw=0.5" in b._model_key()
+
+
+def test_guidance_every_keyframe_reuse():
+    """guidance_every=K runs the guidance net on frames 0, K, 2K, ... of
+    the batch and reuses each output for the following K-1 frames; K=1 is
+    bit-identical to the default; bad values are rejected."""
+    rng = np.random.default_rng(12)
+    frames = rng.integers(0, 255, size=(6, 32, 128, 3), dtype=np.uint8)
+    params = SGBMParams(num_disparities=16)
+    seen = []
+
+    def guidance(l, r):
+        seen.append(l.shape[0])
+        # per-frame constant disparity = 3 + batch index of the KEYFRAME
+        idx = jnp.arange(l.shape[0], dtype=jnp.float32)
+        return (3.0 + idx)[:, None, None] * jnp.ones(l.shape[:3])
+
+    guidance.stereo = True
+    kw = dict(params=params, unsqueeze=False, apply_speckle=False,
+              guidance_fn=guidance, stereo_weight=0.0, blend="fixed")
+    base = np.asarray(depth_batch_pipeline(jnp.asarray(frames), **kw))
+    k1 = np.asarray(depth_batch_pipeline(jnp.asarray(frames),
+                                         guidance_every=1, **kw))
+    np.testing.assert_array_equal(base, k1)
+    k3 = np.asarray(depth_batch_pipeline(jnp.asarray(frames),
+                                         guidance_every=3, **kw))
+    assert seen[-1] == 2  # 6 frames / every 3 -> 2 keyframes
+    scale = 65535.0 / 16.0
+    # frames 0-2 reuse keyframe 0 (disp 3), frames 3-5 keyframe 1 (disp 4)
+    for t in range(6):
+        want = np.round((3.0 + t // 3) * scale)
+        got = np.median(k3[t].astype(np.float64))
+        assert abs(got - want) <= 1.0, (t, got, want)
+
+    a = StereoDepthExtractor(work_dir="/tmp/gev1", guidance="crestereo",
+                             guidance_every=4)
+    assert "+gev4" in a._model_key()
+    b = StereoDepthExtractor(work_dir="/tmp/gev2", guidance_every=4)
+    assert "+gev4" not in b._model_key()  # stereo-only: no guidance run
+    with pytest.raises(ValueError):
+        StereoDepthExtractor(work_dir="/tmp/gev3", guidance_every=0)

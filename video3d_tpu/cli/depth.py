@@ -76,6 +76,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(learned backend takes over where matching "
                         "starves); 'fixed' is the reference 0.7/0.3 "
                         "contract (depth.py:358-363)")
+    p.add_argument("--guidance-every", type=int, default=1,
+                   help="Run the neural guidance on every Kth frame of a "
+                        "batch and reuse it in between (keyframe "
+                        "guidance). The per-frame SSI alignment and "
+                        "trust gate re-anchor/mask stale guidance, so "
+                        "quality degrades toward stereo-only; K=4 cuts "
+                        "hybrid guidance cost ~4x")
     p.add_argument("--temporal-smooth", default=None,
                    choices=("none", "median", "flow"),
                    help="Temporal depth filtering: 'median' = median-of-3 "
@@ -130,6 +137,7 @@ def main(argv=None) -> int:
         stereo_weight=args.guidance_weight,
         blend=args.blend,
         fill_holes=args.fill_holes,
+        guidance_every=args.guidance_every,
     )
     from video3d_tpu.utils.profiling import trace
 

@@ -63,6 +63,7 @@ ALGO_VERSION = 2
         "guidance_fn",
         "return_guide",
         "guide_scale",
+        "guidance_every",
         "stereo_weight",
         "blend",
         "norm_disparities",
@@ -79,6 +80,7 @@ def depth_batch_pipeline(
     guidance_params=None,
     return_guide: bool = False,
     guide_scale: int = 4,
+    guidance_every: int = 1,
     stereo_weight: float = STEREO_WEIGHT,
     blend: str = "confidence",
     norm_disparities: Optional[int] = None,
@@ -131,20 +133,33 @@ def depth_batch_pipeline(
         disp = _fill(disp, float(params.min_disparity - 1))
 
     if guidance_fn is not None:
+        # keyframe guidance: run the (expensive) neural net on every Kth
+        # frame of the batch and reuse its output for the K-1 frames in
+        # between. Guidance is a low-frequency prior; the SSI alignment
+        # below re-anchors its scale on EACH frame's confident stereo
+        # and the trust gate hands disagreeing (stale) pixels back to
+        # stereo, so staleness degrades toward stereo-only, never
+        # pollutes. The cadence restarts at each batch boundary.
+        kev = max(1, int(guidance_every))
+        b = left.shape[0]
+
+        def _apply(g_fn, *eyes):
+            sub = tuple(e[::kev] for e in eyes) if kev > 1 else eyes
+            out = (
+                g_fn(*sub, params=guidance_params)
+                if guidance_params is not None
+                else g_fn(*sub)
+            )
+            if kev > 1:
+                out = jnp.repeat(out, kev, axis=0)[:b]
+            return out
+
         if getattr(guidance_fn, "stereo", False):
             # stereo guidance (e.g. CREStereo) predicts true disparity in
             # pixels from both eyes; blend directly
-            guide = (
-                guidance_fn(left, right, params=guidance_params)
-                if guidance_params is not None
-                else guidance_fn(left, right)
-            )
+            guide = _apply(guidance_fn, left, right)
         else:
-            mono = (
-                guidance_fn(left, params=guidance_params)
-                if guidance_params is not None
-                else guidance_fn(left)
-            )  # (B, H, W') relative depth
+            mono = _apply(guidance_fn, left)  # (B, H, W') relative depth
             # reference contract: normalize to [0, num_disparities] per
             # frame (depth.py:358-360). Min-max is scale-arbitrary (the
             # frame's mono range always maps to the FULL disparity
@@ -275,6 +290,7 @@ class StereoDepthExtractor:
         stereo_weight: float = STEREO_WEIGHT,
         blend: str = "confidence",
         fill_holes: bool = False,
+        guidance_every: int = 1,
         params: SGBMParams = SGBMParams(),
     ):
         self.work_dir = create_work_directory(work_dir)
@@ -315,6 +331,9 @@ class StereoDepthExtractor:
             raise ValueError(f"blend must be confidence|fixed: {blend}")
         self.blend = blend
         self.fill_holes = bool(fill_holes)
+        if guidance_every < 1:
+            raise ValueError(f"guidance_every must be >= 1: {guidance_every}")
+        self.guidance_every = int(guidance_every)
         self.params = params
         self._guidance_fn: Optional[Callable] = None
         self._guidance_loaded = False
@@ -734,6 +753,9 @@ class StereoDepthExtractor:
             model_key += "+blend=conf"
         if self.fill_holes:
             model_key += "+fill"
+        if self.guidance_every != 1 and \
+                self.guidance not in ("none", "stereo_only"):
+            model_key += f"+gev{self.guidance_every}"
         default_params = SGBMParams()
         if self.params != default_params:
             import dataclasses
@@ -866,6 +888,7 @@ class StereoDepthExtractor:
                     guidance_params=guidance_params,
                     return_guide=want_guide,
                     guide_scale=self.flow_scale,
+                    guidance_every=self.guidance_every,
                     stereo_weight=self.stereo_weight,
                     blend=self.blend,
                     norm_disparities=self._norm_disparities,
