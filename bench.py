@@ -81,7 +81,33 @@ def chain_loop(fn, x0, n_iters, extras=()):
     checksum = int(loop(x, *extras))
     dt = time.perf_counter() - t0
     assert checksum >= 0
-    return dt
+    return max(dt - _launch_rtt(), 0.0)
+
+
+_RTT_CACHE = []
+
+
+def _launch_rtt() -> float:
+    """One program-launch + scalar-readback round trip (seconds).
+
+    The dev relay adds ~35-45 ms per launch; chain_loop times ONE launch
+    of an n_iters-deep program, so without subtracting the RTT every
+    config is penalized by rtt/(b*n_iters) per frame (0.6 ms/frame on
+    the headline at b=8, n=8 -- a ~5% haircut that measures the tunnel,
+    not the chip)."""
+    if not _RTT_CACHE:
+        import jax
+        import jax.numpy as jnp
+
+        nop = jax.jit(lambda: jnp.float32(0.0))
+        float(nop())  # compile
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(nop())
+            samples.append(time.perf_counter() - t0)
+        _RTT_CACHE.append(min(samples))
+    return _RTT_CACHE[0]
 
 
 def bench_align():
@@ -152,6 +178,19 @@ def bench_hybrid():
     fps = b * n_iters / dt
     emit("hybrid_dpt_depth_fps_per_chip", fps, "frames/sec",
          note="random-init DPT-large weights; checkpoint not fetchable")
+
+    def fn4(x, p):
+        return depth_batch_pipeline(
+            x, params=SGBMParams(), unsqueeze=True, normalize="fixed",
+            apply_speckle=True, guidance_fn=guidance_fn, guidance_params=p,
+            guidance_every=4,
+        )
+
+    dt = chain_loop(fn4, frames, n_iters, extras=(guidance_fn.params,))
+    emit("hybrid_dpt_gev4_depth_fps_per_chip", b * n_iters / dt,
+         "frames/sec",
+         note="--guidance-every 4 keyframe guidance (DPT on every 4th "
+              "frame, trust-gated reuse in between)")
 
 
 def bench_hybrid_mono():
@@ -318,10 +357,17 @@ def measure_relay_bandwidth_gbps() -> float:
     import jax
     import jax.numpy as jnp
 
+    # Read back a FRESH device buffer: jax.Array caches the host copy
+    # after the first np.asarray, so timing a second read of the same
+    # buffer measures the cache, not the link (that bug once reported
+    # 636 GB/s on a 17 MB/s relay).
+    f = jax.jit(lambda x, s: x + s)
     x = jax.device_put(np.zeros((32 << 20) // 4, np.float32))
-    np.asarray(x)  # warm
+    np.asarray(f(x, 1.0))  # compile + first-transfer warmup
+    y = f(x, 2.0)
+    y.block_until_ready()  # exclude device compute from the timing
     t0 = time.perf_counter()
-    np.asarray(x)
+    np.asarray(y)
     dt = time.perf_counter() - t0
     return (32 << 20) / dt / 1e9
 
@@ -416,6 +462,15 @@ def bench_fused():
         wr.release()
 
         relay_gbps = measure_relay_bandwidth_gbps()
+        # warm the fused program on one batch first: remote compiles of
+        # the big fused loop take 100-500 s here and every other bench
+        # config excludes compile via chain_loop warmup; without this
+        # the "measured slice" is mostly XLA compile time (8 frames =
+        # one full batch of 8 -> identical program shapes)
+        run_pipeline(
+            sbs, v4k, work_dir=str(Path(td) / "warm_work"),
+            skip_alignment=True, max_frames=8, fused=True,
+        )
         t0 = time.perf_counter()
         result = run_pipeline(
             sbs, v4k, work_dir=str(Path(td) / "work"),
@@ -517,7 +572,9 @@ def main() -> None:
         merged = []
     order = [
         "alignment_30s_clips_seconds", "guided_upscale_4k_fps_per_chip",
-        "hybrid_dpt_depth_fps_per_chip", "hybrid_mono_depth_fps_per_chip",
+        "hybrid_dpt_depth_fps_per_chip",
+        "hybrid_dpt_gev4_depth_fps_per_chip",
+        "hybrid_mono_depth_fps_per_chip",
         "encode_4k_fps_single",
         "encode_4k_fps_segment_parallel", "e2e_slice_seconds",
         "e2e_film_projection_minutes_v5e8", "fused_slice_seconds",

@@ -128,3 +128,27 @@ def test_attention_oneblock_matches_einsum():
     got = attention_oneblock(q, k, v, sm_scale=sm, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-5)
+
+
+def test_attention_multihead_matches_einsum():
+    """Head-grouped fused attention (interpret) == XLA einsum, including
+    non-lane-multiple S and head counts not divisible by the group."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from video3d_tpu.kernels.attention import attention_multihead
+
+    rng = np.random.default_rng(10)
+    for (b, n, s, d, hps) in [(2, 4, 77, 32, 2), (1, 6, 130, 16, 4)]:
+        q = jnp.asarray(rng.standard_normal((b, n, s, d)).astype(np.float32))
+        k = jnp.asarray(rng.standard_normal((b, n, s, d)).astype(np.float32))
+        v = jnp.asarray(rng.standard_normal((b, n, s, d)).astype(np.float32))
+        sm = 1.0 / d ** 0.5
+        attn = jax.nn.softmax(
+            jnp.einsum("bnqd,bnkd->bnqk", q, k) * sm, axis=-1)
+        want = jnp.einsum("bnqk,bnkd->bnqd", attn, v)
+        got = attention_multihead(q, k, v, sm_scale=sm, heads_per_step=hps,
+                                  interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)

@@ -40,6 +40,12 @@ def main() -> None:
         args.h, args.w = 96, 160
 
     import jax
+
+    if args.tiny:
+        # tiny is the CPU smoke path; the axon sitecustomize pins
+        # JAX_PLATFORMS at boot, so force CPU via jax.config (the tiny
+        # w=160 frames have no legal costvol tiling on real TPU anyway)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from video3d_tpu.models.dpt import (
@@ -93,6 +99,46 @@ def main() -> None:
         "derived": "dpt_guidance_full - vit_backbone",
     }
 
+    # (2b) attention-op A/B at the backbone's shapes (per frame-layer)
+    n_heads = cfg.num_attention_heads
+    hd = cfg.hidden_size // n_heads
+    toks = (infer // cfg.patch_size) ** 2 + 1
+    qkv = tuple(
+        jnp.asarray(
+            rng.standard_normal((b, n_heads, toks, hd)).astype(np.float32)
+        ).astype(jnp.bfloat16)
+        for _ in range(3)
+    )
+    sm = 1.0 / hd ** 0.5
+    try:
+        from video3d_tpu.kernels.attention import (
+            attention_multihead,
+            attention_oneblock,
+        )
+
+        attn_iters = max(args.iters, 64)  # sub-ms op: drown the launch RTT
+        record("attn_multihead",
+               chain_time(lambda q, k, v: attention_multihead(q, k, v, sm)
+                          .astype(jnp.float32).sum(axis=(1, 2, 3)),
+                          qkv, attn_iters))
+        record("attn_oneblock",
+               chain_time(lambda q, k, v: attention_oneblock(q, k, v, sm)
+                          .astype(jnp.float32).sum(axis=(1, 2, 3)),
+                          qkv, attn_iters))
+    except Exception as e:  # toolchain gap: record and move on
+        stages["attn_kernels"] = {"error": repr(e)}
+
+    def attn_xla(q, k, v):
+        a = jax.nn.softmax(
+            jnp.einsum("bnqd,bnkd->bnqk", q, k,
+                       preferred_element_type=jnp.float32) * sm, axis=-1)
+        return jnp.einsum(
+            "bnqk,bnkd->bnqd", a.astype(v.dtype), v
+        ).astype(jnp.float32).sum(axis=(1, 2, 3))
+
+    record("attn_xla_einsum", chain_time(attn_xla, qkv,
+                                         max(args.iters, 64)))
+
     # (3) stereo-only baseline and (4) the full fused hybrid program
     def stereo_fn(x):
         return depth_batch_pipeline(
@@ -118,6 +164,19 @@ def main() -> None:
     }
     hyb_ms = stages["hybrid_full_pipeline"]["ms_per_frame"]
     stages["hybrid_fps_per_chip"] = {"fps": round(1e3 / hyb_ms, 1)}
+
+    # (5) keyframe guidance: DPT on every 4th frame (--guidance-every 4)
+    def hybrid_gev4_fn(x, p):
+        return depth_batch_pipeline(
+            x, params=SGBMParams(), unsqueeze=True, normalize="fixed",
+            apply_speckle=True, guidance_fn=guidance, guidance_params=p,
+            guidance_every=4)
+
+    record("hybrid_gev4_pipeline",
+           chain_time(hybrid_gev4_fn, (frames, guidance.params),
+                      args.iters))
+    g4 = stages["hybrid_gev4_pipeline"]["ms_per_frame"]
+    stages["hybrid_gev4_fps_per_chip"] = {"fps": round(1e3 / g4, 1)}
 
     out = {"config": {"batch": b, "h": h, "w": w,
                       "dpt": "large/384/bf16 random-init"},

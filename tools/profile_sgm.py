@@ -54,7 +54,32 @@ def chain_time(fn, args, n_iters, perturb_idx=0):
     t0 = time.perf_counter()
     float(loop(*args))
     dt = time.perf_counter() - t0
-    return dt / n_iters
+    return max(dt - _launch_rtt(), 0.0) / n_iters
+
+
+_RTT_CACHE = []
+
+
+def _launch_rtt() -> float:
+    """One program-launch + scalar-readback round trip (seconds).
+
+    On this dev host the chip sits behind a relay with a ~35-45 ms RTT;
+    without subtracting it every chain_time row is inflated by
+    rtt / n_iters (1+ ms/frame at batch 8 / 4 iters), polluting absolute
+    ms-per-frame and implied-GB/s numbers."""
+    if not _RTT_CACHE:
+        import jax
+        import jax.numpy as jnp
+
+        nop = jax.jit(lambda: jnp.float32(0.0))
+        float(nop())  # compile
+        samples = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(nop())
+            samples.append(time.perf_counter() - t0)
+        _RTT_CACHE.append(min(samples))
+    return _RTT_CACHE[0]
 
 
 def main() -> None:

@@ -142,27 +142,29 @@ class ViTSelfAttention(nn.Module):
 def _attention(q, k, v, head_dim: int):
     """softmax(QK^T / sqrt(d)) V for (B, N, S, D) heads.
 
-    On TPU this routes through the one-block fused kernel
-    (kernels/attention.py): the XLA formulation materializes the
-    (B, N, S, S) f32 score tensor in HBM three times over per layer
-    (write, softmax round-trip, AV read) — measured ~80% of the DPT
-    backbone's runtime at S=577. At these short sequences the whole
-    score tile fits VMEM, so a plain single-pass softmax beats both XLA
-    (0.224 ms/frame-layer) and generic streaming flash attention
-    (0.187) at 0.170, exact to f32-accumulation reordering.
-    ``VIDEO3D_TPU_DPT_FUSED_ATTN=0`` restores the einsum path for A/B.
+    Default: the plain XLA einsum. MEASURED on v5e with launch-RTT
+    subtracted (tools/profile_hybrid.py, S=577, D=64, bf16): XLA 0.036
+    ms/frame-layer vs 0.042 (head-grouped Pallas kernel) and 0.060
+    (one-block kernel); at the full-backbone level XLA attention is
+    3.67 vs 4.44 ms/frame. The earlier "fused kernel 24% faster"
+    finding was an artifact of per-launch RTT polluting 3-iteration
+    timings — at these short sequences XLA's own fusion wins and the
+    custom kernels are kept opt-in for A/B on future toolchains:
+    ``VIDEO3D_TPU_DPT_FUSED_ATTN=1`` (head-grouped) or ``oneblock``.
     """
     import os
 
-    use_fused = (
-        jax.default_backend() == "tpu"
-        and os.environ.get("VIDEO3D_TPU_DPT_FUSED_ATTN", "1") == "1"
-    )
-    if use_fused:
+    mode = os.environ.get("VIDEO3D_TPU_DPT_FUSED_ATTN", "0")
+    if jax.default_backend() == "tpu" and mode != "0":
         try:
-            from video3d_tpu.kernels.attention import attention_oneblock
+            from video3d_tpu.kernels.attention import (
+                attention_multihead,
+                attention_oneblock,
+            )
 
-            return attention_oneblock(
+            fused = (attention_oneblock if mode == "oneblock"
+                     else attention_multihead)
+            return fused(
                 q, k, v, sm_scale=1.0 / float(head_dim) ** 0.5
             ).astype(v.dtype)
         except Exception:
