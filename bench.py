@@ -81,7 +81,9 @@ def chain_loop(fn, x0, n_iters, extras=()):
     checksum = int(loop(x, *extras))
     dt = time.perf_counter() - t0
     assert checksum >= 0
-    return max(dt - _launch_rtt(), 0.0)
+    # floor at dt/20: if the relay RTT ever rivals the measurement the
+    # subtraction must not zero it out (div-by-zero downstream)
+    return max(dt - _launch_rtt(), dt / 20)
 
 
 _RTT_CACHE = []

@@ -395,3 +395,22 @@ def test_confidence_blend_prefers_guidance_on_low_texture():
     d_stereo = np.abs(disp[texr][strong] - sdisp[texr][strong])
     d_guide = np.abs(disp[texr][strong] - const_guide)
     assert (d_stereo < d_guide).mean() > 0.9, (d_stereo < d_guide).mean()
+
+
+def test_fused_cost_gate_rejects_unaligned_width():
+    """The fused Pallas cost kernel only lowers for lane-aligned widths;
+    unaligned configs (e.g. --no-unsqueeze 960-px eyes) must route to
+    the XLA D-major path instead of crashing the Mosaic compiler."""
+    from video3d_tpu.ops.stereo import (
+        fused_cost_supported,
+        pallas_sgm_supported,
+    )
+
+    p = SGBMParams()
+    assert pallas_sgm_supported(1920) and not pallas_sgm_supported(960)
+    assert fused_cost_supported(p, 1920)
+    assert fused_cost_supported(p, 1280)
+    assert not fused_cost_supported(p, 960)  # 960 % 128 == 64
+    assert not fused_cost_supported(p, 1000)
+    assert not fused_cost_supported(SGBMParams(min_disparity=1), 1920)
+    assert not fused_cost_supported(SGBMParams(num_disparities=60), 1920)

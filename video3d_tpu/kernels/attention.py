@@ -10,13 +10,16 @@ VMEM (640x640 f32 = 1.6 MB), so this kernel just computes
 softmax(QK^T)V per (batch, head) grid step with a plain (exact,
 single-pass) softmax and zero HBM intermediates.
 
-Measured A/B at DPT shapes (B=4, N=16, S=577, D=64, bf16) with
-launch-RTT-corrected timing (tools/profile_hybrid.py): XLA einsum
-0.036, head-grouped kernel 0.042, one-block 0.060 ms/frame-layer —
-the XLA path WINS at these short sequences (the earlier 0.170-vs-0.224
-kernel win was a launch-RTT artifact of 3-iteration timings), so these
-kernels are OPT-IN (VIDEO3D_TPU_DPT_FUSED_ATTN=1|oneblock), kept as
-the A/B baseline for future toolchains and longer sequences.
+Measured A/B at DPT shapes (B=4, N=16, S=577, D=64, bf16,
+tools/profile_hybrid.py): isolated attention rows are within run-to-run
+noise (~0.10-0.14 ms/frame-layer all three ways), but at the FULL
+BACKBONE level the XLA path wins decisively — 3.80 ms/frame (24 blocks)
+vs 4.47 with the fused kernel — because XLA fuses the attention into
+the surrounding projections, which an opaque pallas_call blocks. The
+earlier "fused kernel 24% faster" readings were timing artifacts of a
+degraded relay. These kernels are therefore OPT-IN
+(VIDEO3D_TPU_DPT_FUSED_ATTN=1|oneblock), kept as the A/B baseline for
+future toolchains and longer sequences.
 
 Sequences pad to a lane multiple; padded key columns are masked to
 -inf before the softmax, padded query rows are sliced away by the

@@ -142,15 +142,16 @@ class ViTSelfAttention(nn.Module):
 def _attention(q, k, v, head_dim: int):
     """softmax(QK^T / sqrt(d)) V for (B, N, S, D) heads.
 
-    Default: the plain XLA einsum. MEASURED on v5e with launch-RTT
-    subtracted (tools/profile_hybrid.py, S=577, D=64, bf16): XLA 0.036
-    ms/frame-layer vs 0.042 (head-grouped Pallas kernel) and 0.060
-    (one-block kernel); at the full-backbone level XLA attention is
-    3.67 vs 4.44 ms/frame. The earlier "fused kernel 24% faster"
-    finding was an artifact of per-launch RTT polluting 3-iteration
-    timings — at these short sequences XLA's own fusion wins and the
-    custom kernels are kept opt-in for A/B on future toolchains:
-    ``VIDEO3D_TPU_DPT_FUSED_ATTN=1`` (head-grouped) or ``oneblock``.
+    Default: the plain XLA einsum. MEASURED on v5e
+    (tools/profile_hybrid.py, S=577, D=64, bf16): at the full-backbone
+    level XLA attention runs 3.80 ms/frame (24 blocks) vs 4.47 with the
+    fused Pallas kernel — XLA fuses the attention into the surrounding
+    projections, which an opaque pallas_call blocks; isolated
+    per-op attention rows are within run-to-run noise either way. The
+    earlier "fused kernel 24% faster" finding was a timing artifact of
+    a degraded relay. The custom kernels stay opt-in for A/B on future
+    toolchains: ``VIDEO3D_TPU_DPT_FUSED_ATTN=1`` (head-grouped) or
+    ``oneblock``.
     """
     import os
 

@@ -587,6 +587,33 @@ def texture_energy(lf: jnp.ndarray, cap: int, radius: int = 2) -> jnp.ndarray:
     return box_sum_2d(e, radius) / window_area(h, w, radius)
 
 
+def pallas_sgm_supported(w: int) -> bool:
+    """Whether the Pallas stereo kernels can lower for this width.
+
+    Every kernel in the TPU fast path rolls vectors along the W lane
+    axis (the cost kernel's roll-then-stack disparity shifts, the SGM
+    sweeps' ``tpu.dynamic_rotate``, the speckle bands); Mosaic only
+    lowers those when W is a multiple of the 128-lane tile -- e.g.
+    ``--no-unsqueeze`` on 1920-wide SBS gives 960-px eyes, which
+    crashed the compiler before this gate. Unaligned widths take the
+    pure-XLA formulation instead: bit-identical semantics at any shape
+    (it is the CPU parity path), just slower.
+    """
+    return w % 128 == 0
+
+
+def fused_cost_supported(params, w: int) -> bool:
+    """Whether the FUSED Pallas cost kernel applies: lane-aligned width
+    (:func:`pallas_sgm_supported`), min_disparity 0 and a sublane-
+    aligned disparity count; other aligned configs use the unfused
+    D-major route."""
+    return (
+        params.min_disparity == 0
+        and params.num_disparities % 8 == 0
+        and pallas_sgm_supported(w)
+    )
+
+
 def sgbm_disparity(
     left_gray: jnp.ndarray,
     right_gray: jnp.ndarray,
@@ -605,7 +632,8 @@ def sgbm_disparity(
     mixing uses.
     """
     lf = rf = None
-    if jax.default_backend() == "tpu":
+    if (jax.default_backend() == "tpu"
+            and pallas_sgm_supported(left_gray.shape[-1])):
         # TPU-fast path: D-major (B, H, D, W) layout end to end -- every
         # per-disparity slice is an (H, W)-minor plane with natural
         # (8, 128) tiling -- plus a 2-byte cost volume and the Pallas SGM
@@ -633,13 +661,18 @@ def sgbm_disparity(
         else:
             cost_dtype = jnp.bfloat16
             raw_invalid = BIG
-        if params.min_disparity == 0 and params.num_disparities % 8 == 0:
+        if fused_cost_supported(params, left_gray.shape[-1]):
             # fused Pallas kernel: x-Sobel prefilter + BT cost + box
             # window in one sweep -- neither the raw volume nor the
             # filtered pair ever materializes in HBM. The confidence
             # path additionally gets the prefiltered left view as a
             # lossless uint8 second output (texture gate) instead of a
-            # second full-resolution prefilter pass.
+            # second full-resolution prefilter pass. Requires lane-
+            # aligned width: the kernel's roll-then-stack disparity
+            # shifts only lower when W is a multiple of 128 (Mosaic
+            # rejects the offset layouts otherwise); unaligned widths
+            # (e.g. --no-unsqueeze on 1920-wide SBS -> 960-px eyes)
+            # take the XLA D-major route below, which pads freely.
             res = fused_cost_volume(
                 left_gray, right_gray, params.num_disparities,
                 params.block_size, out_dtype=cost_dtype,
@@ -708,7 +741,8 @@ def _speckle(disp: jnp.ndarray, params: SGBMParams) -> jnp.ndarray:
             float(params.min_disparity + params.num_disparities),
         ),
     )
-    if jax.default_backend() == "tpu":
+    if (jax.default_backend() == "tpu"
+            and pallas_sgm_supported(disp.shape[-1])):
         from video3d_tpu.kernels.speckle import (
             speckle_block_rows,
             speckle_filter_pallas,
