@@ -557,7 +557,9 @@ def _row_kernel_dmajor(
     p2c = jnp.asarray(p2, ct)
     c_all = cost_ref[...].astype(ct)  # (BB, RPS, D, W)
     rps = c_all.shape[1]
+    nd = c_all.shape[2]
     w = c_all.shape[-1]
+    d_io = jax.lax.broadcasted_iota(jnp.int32, c_all.shape[0:1] + c_all.shape[2:], 1)
     rows = range(rps - 1, -1, -1) if reverse else range(rps)
     for r in rows:
         c = c_all[:, r]  # (BB, D, W)
@@ -574,12 +576,11 @@ def _row_kernel_dmajor(
                 edge = cols < s if s > 0 else cols >= w + s
                 prev = jnp.where(edge, jnp.asarray(0, ct), rolled)
             m = jnp.min(prev, axis=1, keepdims=True)  # (BB, 1, W)
-            up = jnp.concatenate(
-                [prev[:, 1:, :], jnp.full_like(prev[:, :1, :], sent)], axis=1
-            )
-            dn = jnp.concatenate(
-                [jnp.full_like(prev[:, :1, :], sent), prev[:, :-1, :]], axis=1
-            )
+            # d+-1 neighbors as sublane rotates (vs slice+pad concats:
+            # one shifted copy each instead of two slice copies + fill)
+            up = jnp.where(d_io == nd - 1, sent,
+                           pltpu.roll(prev, nd - 1, axis=1))
+            dn = jnp.where(d_io == 0, sent, pltpu.roll(prev, 1, axis=1))
             best = jnp.minimum(
                 jnp.minimum(prev, m + p2c), jnp.minimum(up, dn) + p1c
             )
