@@ -393,11 +393,24 @@ def bench_encode():
 
     n_frames, h, w = 48, 2160, 3840
     rng = np.random.default_rng(4)
-    # reuse a few distinct frames: content realism doesn't change the
-    # encoder's speed class, holding 48 4K frames would
-    pool = [
-        rng.integers(0, 255, (h, w, 3), dtype=np.uint8) for _ in range(4)
-    ]
+    # Depth-map-shaped content: smooth gradients + piecewise-constant
+    # slabs + mild sensor noise, i.e. what the upscale stage actually
+    # encodes. (Round-3 used uniform random noise, the pathological
+    # worst case for any DCT entropy coder -- it under-reported the
+    # encoder 5x: mp4v measures ~4.7 fps on noise vs ~25 fps on depth
+    # maps on this host.) A few distinct frames cycle so the encoder
+    # sees motion without holding 48 4K frames in RAM.
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    pool = []
+    for i in range(4):
+        d = yy / h * 96 + xx / w * 48
+        for _ in range(4):  # foreground slabs at distinct depths
+            y0, x0 = rng.integers(0, h // 2), rng.integers(0, w // 2)
+            d[y0:y0 + h // 3, x0 + i * 64:x0 + i * 64 + w // 4] = \
+                rng.uniform(128, 240)
+        d = d + rng.normal(0, 1.5, (h, w))
+        g = np.clip(d, 0, 255).astype(np.uint8)
+        pool.append(np.repeat(g[..., None], 3, axis=-1))
     backend = "ffmpeg/libx264" if ffmpeg_available() else "opencv/mp4v"
     workers = min(4, os.cpu_count() or 1)
     with tempfile.TemporaryDirectory() as td:

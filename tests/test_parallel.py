@@ -70,6 +70,44 @@ def test_sharded_with_temporal_filter_runs(mesh8):
     assert out.shape == (16, 32, 64) and out.dtype == np.uint16
 
 
+def test_flow_ema_sharded_matches_stream_within_halo_bound(mesh8):
+    """Sharded flow-EMA (ppermute warm-up halos) vs the exact single
+    stream: interior frames must agree to the documented decay bound
+    (alpha_min>=0.35 => carry mismatch decays by >=0.65/frame; with an
+    8-frame halo the boundary error is ~0.03 of the carry scale)."""
+    from video3d_tpu.ops.flow import FlowEMAParams, flow_ema_scan
+    from video3d_tpu.parallel.temporal import flow_ema_sharded
+
+    rng = np.random.default_rng(5)
+    T, h, w = 32, 16, 32
+    base = rng.uniform(20, 80, (h, w)).astype(np.float32)
+    depth = np.stack([base + rng.normal(0, 2, (h, w)) for _ in range(T)])
+    guide = np.stack(
+        [base * 2 + rng.normal(0, 1, (h, w)) for _ in range(T)]
+    ).astype(np.float32)
+    p = FlowEMAParams(levels=2)
+
+    # exact single-stream reference: frame 0 passthrough seeds the carry
+    # (same head contract as TemporalFlowEMAStream / _local_scan)
+    _, ref_tail = flow_ema_scan(
+        (jnp.asarray(depth[0]), jnp.asarray(guide[0])),
+        jnp.asarray(depth[1:]), jnp.asarray(guide[1:]), p,
+    )
+    ref = np.concatenate([depth[:1], np.asarray(ref_tail)], axis=0)
+
+    out = np.asarray(
+        flow_ema_sharded(
+            jnp.asarray(depth), jnp.asarray(guide), mesh8, halo=3, params=p
+        )
+    )
+    assert out.shape == (T, h, w)
+    # interior agreement: carry mismatch (noise-scale, sigma=2) decays
+    # by >= (1 - alpha_min) = 0.65 per halo frame => 0.65^3 * ~6 ~= 1.6
+    err = np.abs(out - ref)
+    assert err.max() < 2.5, err.max()
+    assert err.mean() < 0.25, err.mean()
+
+
 def test_temporal_median_stream_matches_whole_stream():
     from video3d_tpu.parallel.temporal import TemporalMedianStream
 

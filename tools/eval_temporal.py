@@ -130,6 +130,10 @@ def main() -> None:
         elif kind == "flow-fine":  # half-res flow, one extra level
             ema = TemporalFlowEMAStream(FlowEMAParams(levels=4))
             guide = guides[2]
+        elif kind == "flow-nogate":  # ablation: depth-residual gate off
+            ema = TemporalFlowEMAStream(
+                FlowEMAParams(levels=4, d_gate_gain=0.0))
+            guide = guides[2]
         outs = []
         for i in range(0, T, args.batch):
             db = noisy16[i:i + args.batch]
@@ -153,7 +157,7 @@ def main() -> None:
         [ndi.binary_dilation(e, iterations=2) for e in moving_edges])
 
     table = {}
-    for kind in ("none", "median", "flow", "flow-fine"):
+    for kind in ("none", "median", "flow", "flow-fine", "flow-nogate"):
         out = run_stream(kind) / d_scale
         assert out.shape[0] == T, (kind, out.shape)
         err = np.abs(out - gt)

@@ -313,6 +313,22 @@ class FlowEMAParams(NamedTuple):
     gather-free warp; faster motion loses temporal smoothing via the
     residual gate — intentional, since motion masking hides flicker on
     fast-moving content anyway.
+    ``d_gate_t0``/``d_gate_gain``: the DEPTH-residual gate. The
+    photometric gate above runs at guide resolution and cannot see
+    sub-guide-pixel misalignment, which is exactly what smears moving
+    depth edges (round-3 eval: flow edge_rmse 3.27 vs 1.24 unfiltered).
+    This gate compares the warped previous *depth* against the current
+    frame at FULL resolution: where the box-filtered |cur - warp(prev)|
+    exceeds ``d_gate_t0``x its frame mean, alpha ramps to passthrough at
+    slope ``d_gate_gain``. The frame-mean normalization makes it
+    scale-free (works on uint16-scaled or raw disparity) and adaptive:
+    global warp error raises the bar, so only locally-coherent
+    disagreement (edges, occlusions) fires. Isolated salt outliers are
+    diluted by the box filter and keep their temporal smoothing.
+    Measured (tools/eval_temporal.py, 9 seed x noise conditions): edge
+    RMSE improves in all 9 (e.g. 2.14 -> 1.11 at the default condition,
+    beating unfiltered 1.24 and median 2.01) with flicker and post-cut
+    error unchanged or better. ``d_gate_gain=0`` disables.
     """
 
     alpha_min: float = 0.35
@@ -320,6 +336,8 @@ class FlowEMAParams(NamedTuple):
     levels: int = 3
     search: int = 2
     max_warp: int = 16
+    d_gate_t0: float = 1.0
+    d_gate_gain: float = 1.0
 
 
 def _ema_step(p: FlowEMAParams, carry, x):
@@ -343,6 +361,12 @@ def _ema_step(p: FlowEMAParams, carry, x):
     fx_f = _resize_bl(fx, h, w) * sx
     alpha = _resize_bl(alpha_q, h, w)
     prev_warp = warp_bilinear_shifts(prev_out, fy_f, fx_f, p.max_warp)
+    if p.d_gate_gain > 0.0:
+        # depth-residual gate (see FlowEMAParams): full-res, scale-free
+        rd = box_sum_2d(jnp.abs(depth - prev_warp), 2) / window_area(h, w, 2)
+        a_d = jnp.clip((rd / (jnp.mean(rd) + 1e-6) - p.d_gate_t0)
+                       * p.d_gate_gain, 0.0, 1.0)
+        alpha = jnp.maximum(alpha, a_d)
     out = alpha * depth + (1.0 - alpha) * prev_warp
     return (out, g), out
 

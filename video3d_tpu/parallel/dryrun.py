@@ -71,8 +71,11 @@ def run_body(n_devices: int) -> None:
         f"{out.dtype}, sharding {out.sharding}"
     )
 
-    # full TRAINING step of the CREStereo guidance model, dp-sharded over
-    # the frames mesh (params/opt replicated, batch sharded)
+    # guidance + flow-EMA smoothing variant: exercises the neural-
+    # guidance blend (replicated params under pjit partitioning) and the
+    # causal flow-EMA's warm-up halo exchange (flow_ema_sharded: one
+    # ppermute ring per input) on the same mesh — the round-3 features'
+    # multi-chip path (VERDICT r3 item 10)
     import jax.numpy as jnp
     import optax
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -82,9 +85,48 @@ def run_body(n_devices: int) -> None:
         CREStereoLite,
         train_step,
     )
+    from video3d_tpu.models.guidance import GuidanceFn
 
     cfg = CREStereoConfig.tiny()
     model = CREStereoLite(cfg)
+    g_left = jnp.asarray(
+        rng.uniform(0, 255, (1, 32, 128, 3)).astype(np.float32)
+    )
+    g_params = model.init(
+        jax.random.key(1), g_left, jnp.roll(g_left, -2, axis=2)
+    )
+
+    def _cre_apply(p, left, right):
+        return model.apply(p, left, right)
+
+    guidance = GuidanceFn(_cre_apply, g_params, stereo=True)
+    halo = 2
+    frames_per_dev = 4  # > halo: each shard warms on neighbor frames
+    frames_g = rng.integers(
+        0, 255, size=(frames_per_dev * n_devices, 32, 128, 3),
+        dtype=np.uint8,
+    )
+    out_g = sharded_depth_pipeline(
+        frames_g,
+        mesh=mesh,
+        params=SGBMParams(num_disparities=16, speckle_window_size=0),
+        unsqueeze=True,
+        apply_speckle=False,
+        guidance_fn=guidance,
+        guidance_params=g_params,
+        temporal_filter="flow",
+        flow_halo=halo,
+    )
+    out_g.block_until_ready()
+    assert out_g.shape == (frames_per_dev * n_devices, 32, 128)
+    assert out_g.dtype.name == "uint16"
+    print(
+        f"dryrun_multichip guidance+flow OK: {n_devices} devices, out "
+        f"{out_g.shape} {out_g.dtype}, halo {halo}"
+    )
+
+    # full TRAINING step of the CREStereo guidance model, dp-sharded over
+    # the frames mesh (params/opt replicated, batch sharded)
     left = jnp.asarray(
         rng.uniform(0, 255, (n_devices, 32, 64, 3)).astype(np.float32)
     )

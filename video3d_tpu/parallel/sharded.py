@@ -22,7 +22,7 @@ from jax.sharding import Mesh
 
 from video3d_tpu.ops.stereo import SGBMParams
 from video3d_tpu.parallel.mesh import frames_mesh, shard_frames
-from video3d_tpu.parallel.temporal import temporal_median3
+from video3d_tpu.parallel.temporal import flow_ema_sharded, temporal_median3
 from video3d_tpu.stages.depth import depth_batch_pipeline
 
 
@@ -34,20 +34,27 @@ def sharded_depth_pipeline(
     normalize: str = "fixed",
     apply_speckle: bool = True,
     guidance_fn: Optional[Callable] = None,
-    temporal_filter: bool = False,
+    guidance_params=None,
+    temporal_filter: bool | str = False,
+    flow_halo: int = 8,
 ) -> jnp.ndarray:
     """uint8 SBS batch (B, H, W, 3), B divisible by mesh size -> uint16 depth.
 
     Places the input with a frames-axis sharding and runs the single-chip
-    pipeline program; XLA partitions it across the mesh. With
-    ``temporal_filter`` the sharded median-of-3 (ppermute halo) runs on
-    the float disparity before quantization to uint16.
+    pipeline program; XLA partitions it across the mesh.
+    ``temporal_filter``: ``'median'`` (or True) runs the sharded
+    median-of-3 (one-frame ppermute halo); ``'flow'`` runs the causal
+    flow-EMA with ``flow_halo``-frame warm-up halo exchange
+    (parallel/temporal.py flow_ema_sharded) on the quantized depth, with
+    the motion guide emitted by the same pipeline program.
     """
     mesh = mesh or frames_mesh()
     sharding = shard_frames(mesh)
     frames = jax.device_put(jnp.asarray(frames), sharding)
+    mode = {False: None, True: "median"}.get(temporal_filter,
+                                             temporal_filter)
 
-    if not temporal_filter:
+    if mode is None:
         return depth_batch_pipeline(
             frames,
             params=params,
@@ -55,20 +62,29 @@ def sharded_depth_pipeline(
             normalize=normalize,
             apply_speckle=apply_speckle,
             guidance_fn=guidance_fn,
+            guidance_params=guidance_params,
         )
 
     # temporal path: keep disparity in float, filter, then quantize
     @partial(jax.jit, static_argnames=())
     def run(fr):
-        depth_u16 = depth_batch_pipeline(
+        res = depth_batch_pipeline(
             fr,
             params=params,
             unsqueeze=unsqueeze,
             normalize=normalize,
             apply_speckle=apply_speckle,
             guidance_fn=guidance_fn,
+            guidance_params=guidance_params,
+            return_guide=(mode == "flow"),
         )
-        filtered = temporal_median3(depth_u16.astype(jnp.float32), mesh)
+        if mode == "flow":
+            depth_u16, guide = res
+            filtered = flow_ema_sharded(
+                depth_u16, guide, mesh, halo=flow_halo
+            )
+        else:
+            filtered = temporal_median3(res.astype(jnp.float32), mesh)
         return jnp.clip(filtered, 0.0, 65535.0).astype(jnp.uint16)
 
     return run(frames)

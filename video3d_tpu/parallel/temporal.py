@@ -127,6 +127,78 @@ class TemporalFlowEMAStream:
         return None
 
 
+def flow_ema_sharded(
+    depth: jnp.ndarray,
+    guide: jnp.ndarray,
+    mesh: Mesh,
+    halo: int = 8,
+    params=None,
+) -> jnp.ndarray:
+    """Frame-sharded causal flow-EMA with warm-up halo exchange.
+
+    The flow-EMA carry is sequential along time, so exact multi-chip
+    evaluation would serialize the mesh. Instead each shard warms its
+    carry on ``halo`` halo frames pulled from the left neighbor over ICI
+    (one ``ppermute`` per input) and discards the halo outputs — the
+    same error-bounded warm-up contract the multi-host fan-out driver
+    uses with 24-frame host-side halos
+    (stages/depth.py ``_slice_halos``), here as a single jitted
+    shard_map program. The EMA's geometric memory (alpha_min >= 0.35)
+    makes the carry mismatch decay by >= 0.65/frame: 8 halo frames bound
+    the boundary error at ~0.03 of the carry scale, 24 at ~3e-5.
+
+    Shard 0 has no left neighbor; its halo replicates its own frame 0,
+    so its warm-up converges to frame 0 (the stream head is near-
+    passthrough, matching the single-chip stream's exact-passthrough
+    head up to the same bound).
+
+    ``depth`` (T, H, W) float32/uint16 and ``guide`` (T, hq, wq) float32
+    are sharded on T; each shard's local length must be >= ``halo``.
+    Returns float32, same sharding.
+    """
+    from functools import partial as _partial
+
+    from video3d_tpu.ops.flow import FlowEMAParams, _ema_step
+
+    params = params or FlowEMAParams()
+    depth = depth.astype(jnp.float32)
+    guide = guide.astype(jnp.float32)
+
+    def _local_scan(d, g):
+        carry = (d[0], g[0])
+        _, out = jax.lax.scan(
+            _partial(_ema_step, params), carry, (d[1:], g[1:])
+        )
+        return jnp.concatenate([d[:1], out], axis=0)
+
+    n = mesh.shape[FRAMES_AXIS]
+    if n == 1:
+        return _local_scan(depth, guide)
+
+    def local(d_blk, g_blk):
+        idx = jax.lax.axis_index(FRAMES_AXIS)
+        perm = [(i, (i + 1) % n) for i in range(n)]
+        dh = jax.lax.ppermute(d_blk[-halo:], FRAMES_AXIS, perm)
+        gh = jax.lax.ppermute(g_blk[-halo:], FRAMES_AXIS, perm)
+        # global stream head: shard 0's halo replicates its frame 0
+        dh = jnp.where(idx == 0,
+                       jnp.broadcast_to(d_blk[:1], dh.shape), dh)
+        gh = jnp.where(idx == 0,
+                       jnp.broadcast_to(g_blk[:1], gh.shape), gh)
+        out = _local_scan(
+            jnp.concatenate([dh, d_blk], axis=0),
+            jnp.concatenate([gh, g_blk], axis=0),
+        )
+        return out[halo:]
+
+    return jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(FRAMES_AXIS), P(FRAMES_AXIS)),
+        out_specs=P(FRAMES_AXIS),
+    )(depth, guide)
+
+
 def temporal_median3(depth: jnp.ndarray, mesh: Mesh) -> jnp.ndarray:
     """Sharded temporal median-of-3: (T, H, W) sharded on T over ``mesh``.
 
