@@ -26,13 +26,24 @@ _tried = False
 
 def _build_if_source_newer() -> None:
     srcs = [
-        p for p in (_LIB_PATH.parent / n for n in ("png16.cc", "mp4box.cc"))
+        p
+        for p in (
+            _LIB_PATH.parent / n
+            for n in ("png16.cc", "mp4box.cc", "avio.cc")
+        )
         if p.exists()
     ]
     if not srcs:
         return
     newest = max(p.stat().st_mtime for p in srcs)
-    if _LIB_PATH.exists() and _LIB_PATH.stat().st_mtime >= newest:
+    av_fresh = not (_LIB_PATH.parent / "avio.cc").exists() or (
+        _AV_LIB_PATH.exists() and _AV_LIB_PATH.stat().st_mtime >= newest
+    )
+    if (
+        _LIB_PATH.exists()
+        and _LIB_PATH.stat().st_mtime >= newest
+        and av_fresh
+    ):
         return
     try:
         subprocess.run(
@@ -221,4 +232,284 @@ def extract_pcm_wav(in_path: str, out_path: str) -> Optional[str]:
                                str(out_path).encode(), err, len(err))
     if rc != 0:
         return err.value.decode(errors="replace") or "pcm extract failed"
+    return None
+
+
+# ---------------------------------------------------------------------------
+# libav-backed media I/O (native/avio.cc -> libv3dav.so, optional)
+
+_AV_LIB_PATH = _LIB_PATH.parent / "libv3dav.so"
+_av_lib: Optional[ctypes.CDLL] = None
+_av_tried = False
+
+
+def av_lib() -> Optional[ctypes.CDLL]:
+    """The libav-backed native library, or None if unavailable.
+
+    Built only on hosts with the libav dev headers (native/Makefile);
+    loading additionally requires the libav runtime (.so.59 etc.), so
+    absence is normal and every caller has a non-native fallback.
+    """
+    global _av_lib, _av_tried
+    if _av_tried:
+        return _av_lib
+    _av_tried = True
+    if os.environ.get("VIDEO3D_TPU_NO_NATIVE") or os.environ.get(
+        "VIDEO3D_TPU_NO_AV"
+    ):
+        return None
+    lib()  # triggers the rebuild-if-stale pass for both libraries
+    if not _AV_LIB_PATH.exists():
+        return None
+    try:
+        l = ctypes.CDLL(str(_AV_LIB_PATH))
+    except OSError:  # libav runtime missing at load time
+        return None
+    l.v3d_av_audio_to_wav.restype = ctypes.c_int
+    l.v3d_av_audio_to_wav.argtypes = [
+        ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int, ctypes.c_double,
+        ctypes.c_char_p, ctypes.c_int,
+    ]
+    l.v3d_av_reader_open.restype = ctypes.c_void_p
+    l.v3d_av_reader_open.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p, ctypes.c_int,
+    ]
+    l.v3d_av_reader_seek.restype = ctypes.c_int
+    l.v3d_av_reader_seek.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+    l.v3d_av_reader_next.restype = ctypes.c_int
+    l.v3d_av_reader_next.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)
+    ]
+    l.v3d_av_reader_close.argtypes = [ctypes.c_void_p]
+    l.v3d_av_writer_open.restype = ctypes.c_void_p
+    l.v3d_av_writer_open.argtypes = [
+        ctypes.c_char_p, ctypes.c_int, ctypes.c_int, ctypes.c_double,
+        ctypes.c_int, ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_char_p, ctypes.c_int,
+    ]
+    l.v3d_av_writer_write.restype = ctypes.c_int
+    l.v3d_av_writer_write.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8)
+    ]
+    l.v3d_av_writer_close.restype = ctypes.c_int
+    l.v3d_av_writer_close.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int
+    ]
+    if hasattr(l, "v3d_av_mux"):
+        l.v3d_av_mux.restype = ctypes.c_int
+        l.v3d_av_mux.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_int,
+        ]
+    if hasattr(l, "v3d_av_wav_to_m4a"):
+        l.v3d_av_wav_to_m4a.restype = ctypes.c_int
+        l.v3d_av_wav_to_m4a.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+            ctypes.c_char_p, ctypes.c_int,
+        ]
+    _av_lib = l
+    return _av_lib
+
+
+def av_audio_to_wav(
+    in_path: str, out_path: str, rate: int, max_duration: float = 0.0
+) -> Optional[str]:
+    """Decode any audio track to mono 16-bit WAV at ``rate`` (libav).
+
+    Handles every codec the host's libavcodec decodes (AAC-LC, AC3,
+    MP3, Opus, PCM variants ...), replacing the ffmpeg subprocess of
+    the reference (utils.py:76-105). ``max_duration`` of 0 decodes the
+    whole track. Returns None on success, an error string otherwise.
+    """
+    l = av_lib()
+    if l is None:
+        return "libav native library unavailable"
+    err = ctypes.create_string_buffer(512)
+    rc = l.v3d_av_audio_to_wav(
+        str(in_path).encode(), str(out_path).encode(), int(rate),
+        float(max_duration), err, len(err),
+    )
+    if rc != 0:
+        return err.value.decode(errors="replace") or "audio decode failed"
+    return None
+
+
+class AVReader:
+    """Streaming libav frame reader: RGB24 frames with frame seek.
+
+    In-process replacement for both reference decode paths (OpenCV
+    VideoCapture, depth.py:163-182, and the ffmpeg rawvideo pipe,
+    depth.py:215-220): no subprocess, no BGR detour, frame-accurate
+    ``seek`` (keyframe seek + decode-drop, the demuxer contract cv2's
+    CAP_PROP_POS_FRAMES approximates).
+    """
+
+    def __init__(self, path: str):
+        l = av_lib()
+        if l is None:
+            raise RuntimeError("libav native library unavailable")
+        self._l = l
+        err = ctypes.create_string_buffer(512)
+        w = ctypes.c_int()
+        h = ctypes.c_int()
+        fps = ctypes.c_double()
+        n = ctypes.c_int64()
+        self._h = l.v3d_av_reader_open(
+            str(path).encode(), ctypes.byref(w), ctypes.byref(h),
+            ctypes.byref(fps), ctypes.byref(n), err, len(err),
+        )
+        if not self._h:
+            raise RuntimeError(
+                f"libav open failed: {err.value.decode(errors='replace')}"
+            )
+        self.width, self.height = w.value, h.value
+        self.fps = fps.value
+        self.n_frames = n.value if n.value > 0 else None
+
+    def seek(self, frame_idx: int) -> bool:
+        return self._l.v3d_av_reader_seek(self._h, int(frame_idx)) == 0
+
+    def read(self) -> Optional[np.ndarray]:
+        """Next RGB frame (H, W, 3) uint8, or None at end of stream."""
+        out = np.empty((self.height, self.width, 3), np.uint8)
+        rc = self._l.v3d_av_reader_next(
+            self._h, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        )
+        if rc == 1:
+            return out
+        if rc == 0:
+            return None
+        raise RuntimeError("libav decode failed")
+
+    def close(self) -> None:
+        if self._h:
+            self._l.v3d_av_reader_close(self._h)
+            self._h = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def __del__(self):  # pragma: no cover - GC safety net
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+class AVWriter:
+    """Streaming libav/libx264 encoder (yuv420p, crf/preset contract).
+
+    In-process replacement for the reference's ffmpeg encode subprocess
+    (upscale.py:47-63). ``gray=True`` enables the grayscale fast path:
+    depth maps are single-channel, so Y is a 256-entry limited-range
+    LUT and U=V=128 -- no RGB expansion, no per-pixel color matrix.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        width: int,
+        height: int,
+        fps: float,
+        crf: int = 18,
+        preset: str = "medium",
+        gray: bool = False,
+        threads: int = 0,
+    ):
+        l = av_lib()
+        if l is None:
+            raise RuntimeError("libav native library unavailable")
+        self._l = l
+        err = ctypes.create_string_buffer(512)
+        self.gray = bool(gray)
+        self.width, self.height = int(width), int(height)
+        self._h = l.v3d_av_writer_open(
+            str(path).encode(), self.width, self.height, float(fps),
+            int(crf), preset.encode(), 1 if gray else 0, int(threads),
+            err, len(err),
+        )
+        if not self._h:
+            raise RuntimeError(
+                f"libav encoder open failed: "
+                f"{err.value.decode(errors='replace')}"
+            )
+
+    def write(self, frame: np.ndarray) -> None:
+        expect = (
+            (self.height, self.width)
+            if self.gray
+            else (self.height, self.width, 3)
+        )
+        if frame.shape != expect or frame.dtype != np.uint8:
+            raise ValueError(
+                f"AVWriter expects uint8 {expect}, got "
+                f"{frame.dtype} {frame.shape}"
+            )
+        frame = np.ascontiguousarray(frame)
+        rc = self._l.v3d_av_writer_write(
+            self._h, frame.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        )
+        if rc != 0:
+            h, self._h = self._h, None
+            self._l.v3d_av_writer_close(h, None, 0)  # free the session
+            raise RuntimeError("libav encode failed")
+
+    def close(self) -> None:
+        if self._h:
+            err = ctypes.create_string_buffer(512)
+            rc = self._l.v3d_av_writer_close(self._h, err, len(err))
+            self._h = None
+            if rc != 0:
+                raise RuntimeError(
+                    f"libav encoder close failed: "
+                    f"{err.value.decode(errors='replace')}"
+                )
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def av_wav_to_m4a(
+    in_wav: str, out_path: str, bitrate: int = 128000
+) -> Optional[str]:
+    """Encode a PCM WAV to AAC-LC in an M4A/MP4 container (libav).
+
+    Round-trip partner of :func:`av_audio_to_wav` for tests and
+    sidecar-audio tooling on ffmpeg-less hosts. Returns None on
+    success, an error string otherwise.
+    """
+    l = av_lib()
+    if l is None:
+        return "libav native library unavailable"
+    err = ctypes.create_string_buffer(512)
+    rc = l.v3d_av_wav_to_m4a(
+        str(in_wav).encode(), str(out_path).encode(), int(bitrate),
+        err, len(err),
+    )
+    if rc != 0:
+        return err.value.decode(errors="replace") or "aac encode failed"
+    return None
+
+
+def av_mux(video_path: str, audio_path: str, out_path: str) -> Optional[str]:
+    """Stream-copy mux: video track of one file + audio track of another
+    into a single MP4 (no transcode). Returns None on success."""
+    l = av_lib()
+    if l is None or not hasattr(l, "v3d_av_mux"):
+        return "libav native library unavailable"
+    err = ctypes.create_string_buffer(512)
+    rc = l.v3d_av_mux(
+        str(video_path).encode(), str(audio_path).encode(),
+        str(out_path).encode(), err, len(err),
+    )
+    if rc != 0:
+        return err.value.decode(errors="replace") or "mux failed"
     return None

@@ -121,8 +121,26 @@ def extract_audio(
         print(f"Using cached audio: {out_path.name}")
         return out_path
 
+    from video3d_tpu.core import _native
+
     ffmpeg = shutil.which("ffmpeg")
-    if ffmpeg is not None:
+    if _native.av_lib() is not None and video.suffix.lower() != ".wav":
+        # in-process libav decode: any codec (AAC-LC, AC3, MP3, PCM...)
+        # straight to mono s16 at the target rate -- no subprocess, no
+        # ffmpeg binary needed (closes SURVEY N6 on bare hosts)
+        print(f"Extracting audio from {video.name} (libav)...")
+        nerr = _native.av_audio_to_wav(
+            str(video), str(out_path), sample_rate, duration
+        )
+        if nerr is not None:
+            if ffmpeg is None:
+                raise RuntimeError(
+                    f"libav audio extraction failed for {video_path}: {nerr}"
+                )
+            _ffmpeg_extract(
+                ffmpeg, video_path, out_path, duration, sample_rate
+            )
+    elif ffmpeg is not None:
         print(f"Extracting audio from {video.name}...")
         _ffmpeg_extract(ffmpeg, video_path, out_path, duration, sample_rate)
     elif video.suffix.lower() == ".wav":

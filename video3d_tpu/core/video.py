@@ -6,16 +6,18 @@ producer on a background thread filling a bounded queue of fixed-size numpy
 batches, so host decode overlaps device compute (double buffering at the
 host->HBM boundary, SURVEY.md north star).
 
-Backends:
+Backends (auto-selection order):
+* ``av`` -- in-process libavformat/libavcodec via the native library
+  (native/avio.cc): no subprocess, no pipe copy, frame-accurate seek,
+  and the SAME libx264 crf/preset encode contract as the ffmpeg CLI --
+  plus a grayscale encode fast path (Y=LUT, U=V=128) that skips the
+  3-channel expansion entirely for depth maps. Preferred when built.
 * ``ffmpeg`` -- rawvideo rgb24 pipe subprocess (reference depth.py:215-220),
   used when an ffmpeg binary exists;
 * ``opencv`` -- cv2.VideoCapture (reference depth.py:142-188), always
   available; frames converted BGR->RGB at the boundary so the rest of the
   framework is RGB-only (fixing the reference's color-space confusion,
-  SURVEY.md SS2.4-7).
-
-Encoding likewise prefers ffmpeg (libx264 crf/preset contract of
-upscale.py:47-63) and falls back to cv2.VideoWriter mp4v.
+  SURVEY.md SS2.4-7). Encode falls back to cv2.VideoWriter mp4v.
 """
 
 from __future__ import annotations
@@ -32,6 +34,21 @@ import numpy as np
 
 def ffmpeg_available() -> bool:
     return shutil.which("ffmpeg") is not None
+
+
+def av_available() -> bool:
+    """True when the libav-backed native library loads on this host."""
+    from video3d_tpu.core import _native
+
+    return _native.av_lib() is not None
+
+
+def _default_backend() -> str:
+    if av_available():
+        return "av"
+    if ffmpeg_available():
+        return "ffmpeg"
+    return "opencv"
 
 
 class VideoReader:
@@ -61,7 +78,7 @@ class VideoReader:
         self.batch_size = int(batch_size)
         self.prefetch = int(prefetch)
         if backend is None:
-            backend = "ffmpeg" if ffmpeg_available() else "opencv"
+            backend = _default_backend()
         self.backend = backend
 
         from video3d_tpu.core.probe import get_video_info
@@ -117,8 +134,27 @@ class VideoReader:
             proc.stdout.close()
             proc.wait()
 
+    def _frames_av(self) -> Iterator[np.ndarray]:
+        from video3d_tpu.core._native import AVReader
+
+        with AVReader(self.video_path) as r:
+            if self.start_frame and not r.seek(self.start_frame):
+                raise RuntimeError(
+                    f"libav seek to frame {self.start_frame} failed: "
+                    f"{self.video_path}"
+                )
+            count = 0
+            while self.max_frames is None or count < self.max_frames:
+                frame = r.read()
+                if frame is None:
+                    break
+                yield frame
+                count += 1
+
     def frames(self) -> Iterator[np.ndarray]:
         """Yield single RGB uint8 (H, W, 3) frames."""
+        if self.backend == "av":
+            return self._frames_av()
         if self.backend == "ffmpeg":
             return self._frames_ffmpeg()
         return self._frames_opencv()
@@ -167,10 +203,12 @@ class VideoReader:
 class VideoWriter:
     """Streaming video encoder for grayscale/RGB uint8 frames.
 
-    ffmpeg backend reproduces the reference's encode contract
-    (upscale.py:47-63): h264, crf=18, preset=medium, yuv420p. ``use_nvenc``
-    is accepted for CLI parity but NVENC does not exist on TPU hosts, so it
-    selects libx264. OpenCV fallback uses mp4v.
+    The ``av`` and ``ffmpeg`` backends reproduce the reference's encode
+    contract (upscale.py:47-63): h264, crf=18, preset=medium, yuv420p --
+    ``av`` in-process through libavcodec/libx264 (no subprocess, and a
+    grayscale fast path for depth maps), ``ffmpeg`` through the CLI pipe.
+    ``use_nvenc`` is accepted for CLI parity but NVENC does not exist on
+    TPU hosts, so it selects libx264. OpenCV fallback uses mp4v.
     """
 
     def __init__(
@@ -187,11 +225,15 @@ class VideoWriter:
         self.output_path = str(output_path)
         self.width, self.height, self.fps = int(width), int(height), float(fps)
         if backend is None:
-            backend = "ffmpeg" if ffmpeg_available() else "opencv"
+            backend = _default_backend()
         self.backend = backend
         self._proc = None
         self._cv = None
-        if self.backend == "ffmpeg":
+        self._av = None
+        self._crf, self._preset = int(crf), preset
+        if self.backend == "av":
+            pass  # opened lazily: gray vs RGB mode comes from frame 1
+        elif self.backend == "ffmpeg":
             cmd = [
                 shutil.which("ffmpeg"), "-y", "-v", "error",
                 "-f", "rawvideo", "-pix_fmt", "rgb24",
@@ -215,16 +257,53 @@ class VideoWriter:
 
     def write(self, frame: np.ndarray) -> None:
         """Write one uint8 frame: (H, W) grayscale or (H, W, 3) RGB."""
-        if frame.ndim == 2:
-            frame = np.repeat(frame[..., None], 3, axis=-1)
         if frame.dtype != np.uint8:
             raise TypeError(f"VideoWriter expects uint8, got {frame.dtype}")
+        if self.backend == "av":
+            if self._av is None:
+                from video3d_tpu.core._native import AVWriter
+
+                self._av = AVWriter(
+                    self.output_path, self.width, self.height, self.fps,
+                    crf=self._crf, preset=self._preset,
+                    gray=(frame.ndim == 2),
+                )
+            if frame.ndim == 2 and not self._av.gray:
+                frame = np.repeat(frame[..., None], 3, axis=-1)
+            elif frame.ndim == 3 and self._av.gray:
+                raise ValueError(
+                    "VideoWriter opened in grayscale mode (first frame was "
+                    "2-D); cannot switch to RGB mid-stream"
+                )
+            self._av.write(frame)
+            return
         if self._proc is not None:
+            if frame.ndim == 2:
+                frame = np.repeat(frame[..., None], 3, axis=-1)
             self._proc.stdin.write(np.ascontiguousarray(frame).tobytes())
         else:
-            self._cv.write(frame[..., ::-1])  # RGB -> BGR for OpenCV
+            # cv2 SIMD color conversions beat numpy's repeat / negative-
+            # stride flip by ~4x at 4K -- on single-core TPU hosts the
+            # feed path shares the encoder's core, so this is throughput
+            import cv2
+
+            if frame.ndim == 2:
+                self._cv.write(cv2.cvtColor(frame, cv2.COLOR_GRAY2BGR))
+            else:
+                self._cv.write(cv2.cvtColor(frame, cv2.COLOR_RGB2BGR))
 
     def close(self) -> None:
+        if self.backend == "av":
+            if self._av is None:  # zero frames written: emit empty mp4
+                from video3d_tpu.core._native import AVWriter
+
+                self._av = AVWriter(
+                    self.output_path, self.width, self.height, self.fps,
+                    crf=self._crf, preset=self._preset,
+                )
+            av, self._av = self._av, None
+            av.close()
+            return
         if self._proc is not None:
             self._proc.stdin.close()
             ret = self._proc.wait()
