@@ -390,6 +390,7 @@ def bench_encode():
         VideoWriter,
         ffmpeg_available,
     )
+    from video3d_tpu.core.video import _default_backend
 
     n_frames, h, w = 48, 2160, 3840
     rng = np.random.default_rng(4)
@@ -410,8 +411,15 @@ def bench_encode():
                 rng.uniform(128, 240)
         d = d + rng.normal(0, 1.5, (h, w))
         g = np.clip(d, 0, 255).astype(np.uint8)
-        pool.append(np.repeat(g[..., None], 3, axis=-1))
-    backend = "ffmpeg/libx264" if ffmpeg_available() else "opencv/mp4v"
+        # 2-D gray frames: the shape the upscale stage actually writes.
+        # The av backend takes its grayscale fast path (Y=LUT, U=V=128);
+        # the others expand to 3 channels at the boundary.
+        pool.append(g)
+    backend = {
+        "av": "libav/libx264-inprocess",
+        "ffmpeg": "ffmpeg/libx264",
+        "opencv": "opencv/mp4v",
+    }[_default_backend()]
     workers = min(4, os.cpu_count() or 1)
     with tempfile.TemporaryDirectory() as td:
         t0 = time.perf_counter()

@@ -117,27 +117,26 @@ class AlignedExtractor:
             if err is None:
                 return
             print(f"Native mp4 cut unavailable ({err}); re-encoding")
-        # OpenCV fallback: decode the window and re-encode
-        import cv2
+        # decode-window-and-re-encode fallback through the core reader/
+        # writer: libav in-process (x264 + frame-accurate seek) when
+        # built, OpenCV/mp4v otherwise (core/video.py backend order)
+        from video3d_tpu.core.probe import get_video_info
+        from video3d_tpu.core.video import VideoReader, VideoWriter
 
-        cap = cv2.VideoCapture(str(video))
-        if not cap.isOpened():
-            raise RuntimeError(f"Cannot open {video}")
-        fps = cap.get(cv2.CAP_PROP_FPS) or 24.0
-        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH))
-        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT))
-        cap.set(cv2.CAP_PROP_POS_FRAMES, int(round(start * fps)))
-        writer = cv2.VideoWriter(
-            str(out), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
-        )
+        info = get_video_info(str(video))
+        if info is None:
+            raise RuntimeError(f"Cannot probe {video}")
+        fps = info["fps"] or 24.0
         n = int(round(duration * fps))
-        for _ in range(n):
-            ok, frame = cap.read()
-            if not ok:
-                break
-            writer.write(frame)
-        writer.release()
-        cap.release()
+        reader = VideoReader(
+            str(video), start_frame=int(round(start * fps)), max_frames=n
+        )
+        with VideoWriter(
+            str(out), info["width"], info["height"], fps
+        ) as writer:
+            for batch, valid in reader:
+                for j in range(valid):
+                    writer.write(batch[j])
 
     def extract_segment(
         self,
