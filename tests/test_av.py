@@ -183,6 +183,24 @@ def test_av_mux_video_plus_audio(tmp_path):
     assert abs(np.argmax(sp) / (len(audio) / rate) - 500) < 5
 
 
+def test_segment_parallel_x264_concat(tmp_path):
+    """Multi-segment x264 encode + native box-level concat: segments
+    written by independent AVWriter instances must have byte-identical
+    codec config (stsd) so v3d_mp4_concat stitches without re-encode."""
+    from video3d_tpu.core.video import SegmentParallelVideoWriter
+
+    p = str(tmp_path / "seg.mp4")
+    frames = _gray_frames(n=20)
+    with SegmentParallelVideoWriter(
+        p, 96, 64, 24.0, workers=2, segment_frames=6, backend="av",
+        preset="veryfast",
+    ) as w:
+        for f in frames:
+            w.write(f)
+    r = VideoReader(p, batch_size=8, backend="av")
+    assert sum(valid for _, valid in r) == 20
+
+
 def test_av_audio_max_duration(tmp_path):
     sr = 32000
     sig = np.sin(2 * np.pi * 220 * np.arange(sr * 5) / sr) * 0.3

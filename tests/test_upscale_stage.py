@@ -212,3 +212,26 @@ def test_adaptive_stage_runs(tmp_path):
                        batch_size=2)
     out = up.process_depth_upscaling(str(depth_dir), str(video_4k))
     assert get_video_info(str(out))["frames"] == 3
+
+
+def test_upscale_stage_segment_parallel_encode(tmp_path):
+    """encode_workers > 1 routes through SegmentParallelVideoWriter and
+    produces the same frame count/geometry as the single-encoder path;
+    preset/crf pass through to the encoder."""
+    depth_dir = tmp_path / "depth_0123456789abcdef"
+    depth_dir.mkdir()
+    rng = np.random.default_rng(5)
+    for i in range(7):
+        d = (rng.uniform(0, 65535, size=(32, 64))).astype(np.uint16)
+        save_depth_png16(depth_dir / depth_frame_name(i), d)
+    video_4k = tmp_path / "movie_4k.mp4"
+    make_test_video(video_4k, n_frames=7, width=128, height=64, fps=24.0)
+
+    up = DepthUpscaler(
+        work_dir=str(tmp_path / "out"), method="scale", batch_size=2,
+        preset="ultrafast", encode_workers=2,
+    )
+    out = up.process_depth_upscaling(str(depth_dir), str(video_4k))
+    info = get_video_info(str(out))
+    assert (info["width"], info["height"]) == (128, 64)
+    assert info["frames"] == 7

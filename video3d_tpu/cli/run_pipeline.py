@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "no intermediate PNG round trip (stages/fused.py). "
                         "Default keeps the file-coupled stages whose PNG "
                         "cache enables resume")
+    p.add_argument("--encode-preset", default="medium",
+                   help="x264 preset for the 4K encode (contract: medium; "
+                        "CPU hosts should use veryfast/ultrafast)")
+    p.add_argument("--encode-workers", type=int, default=1,
+                   help="segment-parallel encoder threads")
     p.add_argument("--cache-depth", action="store_true",
                    help="In --fused mode, also write the depth PNG cache "
                         "(restores resumability at the cost of the "
@@ -79,6 +84,8 @@ def main(argv=None) -> int:
         blend=args.blend,
         fused=args.fused,
         cache_depth=args.cache_depth,
+        encode_preset=args.encode_preset,
+        encode_workers=args.encode_workers,
     )
     return 1 if result.get("stopped") else 0
 

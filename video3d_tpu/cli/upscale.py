@@ -45,6 +45,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--png16-out", action="store_true",
                    help="Write a full-precision uint16 PNG sequence instead "
                    "of an 8-bit H.264 video")
+    p.add_argument("--crf", type=int, default=18,
+                   help="x264 rate factor (reference contract: 18)")
+    p.add_argument("--preset", default="medium",
+                   help="x264 preset (reference contract: medium; CPU "
+                        "hosts encoding 4K should use veryfast/ultrafast)")
+    p.add_argument("--encode-workers", type=int, default=1,
+                   help="segment-parallel encoder threads (>1 scales "
+                        "with host cores; native box-level concat)")
     p.add_argument("--use-nvenc", action="store_true",
                    help="Accepted for parity (upscale.py:15); software encode")
     p.add_argument("--force", action="store_true")
@@ -76,6 +84,9 @@ def main(argv=None) -> int:
         radius=args.radius,
         eps=args.eps,
         guide_mode=args.guide_mode,
+        crf=args.crf,
+        preset=args.preset,
+        encode_workers=args.encode_workers,
     )
     out = upscaler.process_depth_upscaling(
         args.depth_dir,

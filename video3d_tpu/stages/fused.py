@@ -81,6 +81,9 @@ def run_fused_depth_upscale(
     batch_size: Optional[int] = None,
     cache_depth: bool = False,
     cache_dir: Optional[Path] = None,
+    crf: int = 18,
+    preset: str = "medium",
+    encode_workers: int = 1,
 ) -> Dict:
     """SBS video -> 4K depth video in one device-resident loop.
 
@@ -199,7 +202,18 @@ def run_fused_depth_upscale(
             )
         return plain_upsample(depth_dev, out_h, out_w, out_dtype="uint8")
 
-    with VideoWriter(str(output_path), out_w, out_h, fps) as writer:
+    if encode_workers > 1:
+        from video3d_tpu.core import SegmentParallelVideoWriter
+
+        writer_cm = SegmentParallelVideoWriter(
+            str(output_path), out_w, out_h, fps, workers=encode_workers,
+            crf=crf, preset=preset,
+        )
+    else:
+        writer_cm = VideoWriter(
+            str(output_path), out_w, out_h, fps, crf=crf, preset=preset
+        )
+    with writer_cm as writer:
         try:
             # one batch in flight: the pending 4K readback+encode overlaps
             # the current batch's decode and device compute

@@ -59,6 +59,8 @@ def run_pipeline(
     blend: str = "confidence",
     fused: bool = False,
     cache_depth: bool = False,
+    encode_preset: str = "medium",
+    encode_workers: int = 1,
 ) -> Dict:
     """Run the full pipeline; returns artifacts + per-step timings.
 
@@ -156,6 +158,8 @@ def run_pipeline(
             upscale_method=upscale_method,
             cache_depth=cache_depth,
             cache_dir=cache,
+            preset=encode_preset,
+            encode_workers=encode_workers,
         )
         timings["depth+upscale (fused)"] = time.time() - t0
         result.update(fused_res)
@@ -209,7 +213,10 @@ def run_pipeline(
                 )
             depth_dir = candidates[-1]
         t0 = time.time()
-        upscaler = DepthUpscaler(work_dir=str(work), method=upscale_method)
+        upscaler = DepthUpscaler(
+            work_dir=str(work), method=upscale_method,
+            preset=encode_preset, encode_workers=encode_workers,
+        )
         output = upscaler.process_depth_upscaling(
             str(depth_dir),
             video_4k,

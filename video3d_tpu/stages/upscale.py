@@ -55,7 +55,19 @@ class DepthUpscaler:
         radius: int = 8,
         eps: float = 1e-3,
         guide_mode: str = "gray",
+        crf: int = 18,
+        preset: str = "medium",
+        encode_workers: int = 1,
     ):
+        """``crf``/``preset`` follow the reference encode contract
+        (upscale.py:56-59: crf=18, preset=medium). The reference offloads
+        encoding to NVENC hardware; CPU hosts encoding 4K should pick a
+        faster preset (same crf keeps the quality level; x264 'veryfast'/
+        'ultrafast' trade bitrate for ~5-10x throughput) and/or
+        ``encode_workers`` > 1 -- segment-parallel encoders on separate
+        threads, stitched by the native box-level concat
+        (core/video.py SegmentParallelVideoWriter), scaling with host
+        cores."""
         self.work_dir = Path(work_dir)
         self.work_dir.mkdir(parents=True, exist_ok=True)
         self.use_nvenc = use_nvenc
@@ -64,6 +76,9 @@ class DepthUpscaler:
         self.radius = int(radius)
         self.eps = float(eps)
         self.guide_mode = guide_mode
+        self.crf = int(crf)
+        self.preset = str(preset)
+        self.encode_workers = int(encode_workers)
 
     def process_depth_upscaling(
         self,
@@ -132,9 +147,18 @@ class DepthUpscaler:
             from video3d_tpu.core.depthio import DepthMapWriter
 
             writer_cm = DepthMapWriter(output_path)
+        elif self.encode_workers > 1:
+            from video3d_tpu.core import SegmentParallelVideoWriter
+
+            writer_cm = SegmentParallelVideoWriter(
+                str(output_path), out_w, out_h, fps,
+                workers=self.encode_workers, crf=self.crf,
+                preset=self.preset,
+            )
         else:
             writer_cm = VideoWriter(
-                str(output_path), out_w, out_h, fps, use_nvenc=self.use_nvenc
+                str(output_path), out_w, out_h, fps,
+                use_nvenc=self.use_nvenc, crf=self.crf, preset=self.preset,
             )
         with writer_cm as writer:
             # one batch in flight: the previous batch's device->host
