@@ -248,3 +248,39 @@ def test_guidance_every_keyframe_reuse():
     assert "+gev4" not in b._model_key()  # stereo-only: no guidance run
     with pytest.raises(ValueError):
         StereoDepthExtractor(work_dir="/tmp/gev3", guidance_every=0)
+
+
+def test_trust_scale_gate_close_to_exact():
+    """trust_scale=4 (pooled quarter-res trust field) must track the
+    exact full-res gate: same blend within a small tolerance away from
+    the trust-boundary pixels, identical where trust saturates."""
+    import jax.numpy as jnp
+
+    from video3d_tpu.models.guidance import GuidanceFn
+    from video3d_tpu.ops.stereo import SGBMParams
+    from video3d_tpu.stages.depth import depth_batch_pipeline
+
+    rng = np.random.default_rng(11)
+    h, w = 64, 256
+    # textured SBS with constant disparity 6
+    strip = np.clip(rng.normal(128, 45, (h, w // 2 + 6)), 0, 255)
+    left = strip[:, 6:]
+    right = strip[:, :-6]
+    sbs = np.stack([np.concatenate([left, right], axis=1)] * 3, -1)
+    frames = np.stack([sbs.astype(np.uint8)] * 2)
+
+    def guide_fn(params, eye):
+        # a plausible guide: true disparity with a small constant bias
+        return jnp.full(eye.shape[:-1], 6.0) + 0.5
+
+    g = GuidanceFn(guide_fn, None)
+    kw = dict(params=SGBMParams(num_disparities=16), unsqueeze=False,
+              apply_speckle=False, guidance_fn=g)
+    exact = np.asarray(depth_batch_pipeline(frames, trust_scale=1, **kw),
+                       np.float32)
+    approx = np.asarray(depth_batch_pipeline(frames, trust_scale=4, **kw),
+                        np.float32)
+    scale = 65535.0 / 16
+    diff = np.abs(exact - approx) / scale  # in disparity px
+    assert np.median(diff) < 0.15, np.median(diff)
+    assert (diff > 1.0).mean() < 0.05, (diff > 1.0).mean()

@@ -150,11 +150,14 @@ def test_ssi_align_quality_scores():
     np.testing.assert_allclose(np.asarray(q1)[:, 0, 0], 1.0)
 
 
-def test_bad_mono_guide_degrades_to_stereo_only():
+@pytest.mark.parametrize("trust_scale", [1, 4])
+def test_bad_mono_guide_degrades_to_stereo_only(trust_scale):
     """Trust gate (stages/depth.py): a guidance net whose output cannot
     explain the confident SGM structure must not pollute the frame --
     the confidence blend with a GARBAGE mono guide should stay close to
-    the stereo-only output on its valid pixels."""
+    the stereo-only output on its valid pixels. Parametrized over the
+    exact full-res gate and the pooled reduced-resolution one
+    (trust_scale=4): the OOD-safety property must hold for both."""
     from video3d_tpu.models.guidance import GuidanceFn
     from video3d_tpu.ops.stereo import SGBMParams
     from video3d_tpu.stages.depth import depth_batch_pipeline
@@ -185,7 +188,7 @@ def test_bad_mono_guide_degrades_to_stereo_only():
     g = GuidanceFn(garbage, params={"none": jnp.zeros(())})
     hybrid = np.asarray(depth_batch_pipeline(
         jnp.asarray(frames), guidance_fn=g, guidance_params=g.params,
-        blend="confidence", **kw))
+        blend="confidence", trust_scale=trust_scale, **kw))
     valid = stereo_only > 0
     diff = np.abs(hybrid.astype(np.int64) - stereo_only.astype(np.int64))
     # uint16 scale: 1 disparity = 65535/16 ~ 4096 counts; stay within

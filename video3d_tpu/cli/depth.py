@@ -76,6 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(learned backend takes over where matching "
                         "starves); 'fixed' is the reference 0.7/0.3 "
                         "contract (depth.py:358-363)")
+    p.add_argument("--trust-scale", type=int, default=1, choices=[1, 2, 4],
+                   help="Resolution divisor of the guidance trust field "
+                        "(blend='confidence'): 1 = exact full-res local "
+                        "agreement; 2/4 pool the agreement mass before "
+                        "the windowed sums (same support, ~s^2 cheaper, "
+                        "OOD-safety property tested for both)")
     p.add_argument("--guidance-every", type=int, default=4,
                    help="Run the neural guidance on every Kth frame of a "
                         "batch and reuse it in between (keyframe "
@@ -141,6 +147,7 @@ def main(argv=None) -> int:
         blend=args.blend,
         fill_holes=args.fill_holes,
         guidance_every=args.guidance_every,
+        trust_scale=args.trust_scale,
     )
     from video3d_tpu.utils.profiling import trace
 

@@ -68,6 +68,7 @@ ALGO_VERSION = 2
         "blend",
         "norm_disparities",
         "fill_holes",
+        "trust_scale",
     ),
 )
 def depth_batch_pipeline(
@@ -85,6 +86,7 @@ def depth_batch_pipeline(
     blend: str = "confidence",
     norm_disparities: Optional[int] = None,
     fill_holes: bool = False,
+    trust_scale: int = 1,
 ) -> jnp.ndarray:
     """uint8 SBS RGB batch (B, H, W, 3) -> uint16 depth batch (B, H, W').
 
@@ -229,11 +231,37 @@ def depth_batch_pipeline(
                 1.0,
             )
             r_t = 8
-            num = box_sum_2d(agree, r_t)
-            den = box_sum_2d(conf, r_t)
-            area = box_sum_2d(jnp.ones_like(conf), r_t)
-            trust = jnp.where(den > 0.02 * area,
-                              num / jnp.maximum(den, 1e-6), q_frame)
+            if trust_scale > 1:
+                # reduced-resolution trust field: agreement mass is
+                # low-frequency (r=8 box), so pool agree/conf s x s,
+                # window at r_t/s, and bilinearly expand the ratio.
+                # Cuts the gate's box-sum cost ~s^2; same support.
+                from video3d_tpu.ops.image import resize2d
+
+                s = int(trust_scale)
+                bb = agree.shape[0]
+                hh, ww = agree.shape[-2], agree.shape[-1]
+                hq, wq = hh // s, ww // s
+
+                def pool(a):
+                    return a[:, : hq * s, : wq * s].reshape(
+                        bb, hq, s, wq, s
+                    ).sum(axis=(2, 4))
+
+                num = box_sum_2d(pool(agree), max(1, r_t // s))
+                den = box_sum_2d(pool(conf), max(1, r_t // s))
+                area = box_sum_2d(
+                    jnp.full((bb, hq, wq), float(s * s)), max(1, r_t // s)
+                )
+                trust_q = jnp.where(den > 0.02 * area,
+                                    num / jnp.maximum(den, 1e-6), q_frame)
+                trust = resize2d(trust_q, hh, ww, method="bilinear")
+            else:
+                num = box_sum_2d(agree, r_t)
+                den = box_sum_2d(conf, r_t)
+                area = box_sum_2d(jnp.ones_like(conf), r_t)
+                trust = jnp.where(den > 0.02 * area,
+                                  num / jnp.maximum(den, 1e-6), q_frame)
             conf = 1.0 - (1.0 - conf) * jnp.clip(trust, 0.0, 1.0)
             disp = conf * stereo_pos + (1.0 - conf) * guide
         else:
@@ -291,6 +319,7 @@ class StereoDepthExtractor:
         blend: str = "confidence",
         fill_holes: bool = False,
         guidance_every: int = 4,
+        trust_scale: int = 1,
         params: SGBMParams = SGBMParams(),
     ):
         """``guidance_every``: run the neural guidance on every Kth frame
@@ -344,6 +373,9 @@ class StereoDepthExtractor:
         if guidance_every < 1:
             raise ValueError(f"guidance_every must be >= 1: {guidance_every}")
         self.guidance_every = int(guidance_every)
+        if trust_scale not in (1, 2, 4):
+            raise ValueError(f"trust_scale must be 1, 2 or 4: {trust_scale}")
+        self.trust_scale = int(trust_scale)
         self.params = params
         self._guidance_fn: Optional[Callable] = None
         self._guidance_loaded = False
@@ -899,6 +931,7 @@ class StereoDepthExtractor:
                     return_guide=want_guide,
                     guide_scale=self.flow_scale,
                     guidance_every=self.guidance_every,
+                    trust_scale=self.trust_scale,
                     stereo_weight=self.stereo_weight,
                     blend=self.blend,
                     norm_disparities=self._norm_disparities,
