@@ -29,8 +29,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Frames per device batch (auto from memory if unset)")
     p.add_argument("--guidance", default=None,
                    choices=["none", "dpt", "crestereo", "mono"],
-                   help="Neural guidance backend (default: dpt unless "
-                   "--stereo-only/--no-neural)")
+                   help="Neural guidance backend. Default: crestereo -- "
+                        "the backend the reference INTENDED (its "
+                        "depth.py:1 docstring, readme.md:112 and "
+                        "CREStereo_model.txt all name CREStereo; the "
+                        "committed code loads DPT only because the "
+                        "integration was never checked in, SURVEY "
+                        "2.4-4) and the one with a bundled TRAINED "
+                        "checkpoint. 'dpt' is load-ready for real "
+                        "Intel/dpt-large weights but unvalidated "
+                        "offline; without weights it soft-falls-back "
+                        "to stereo-only.")
     p.add_argument("--stereo-only", action="store_true",
                    help="Disable neural guidance (depth.py:507)")
     p.add_argument("--no-neural", action="store_true",
@@ -131,7 +140,9 @@ def main(argv=None) -> int:
     elif args.stereo_only or args.no_neural:
         guidance = "none"
     else:
-        guidance = "dpt"
+        # the backend the reference intended AND the one that works out
+        # of the box (bundled trained checkpoint); see --guidance help
+        guidance = "crestereo"
     extractor = StereoDepthExtractor(
         work_dir=args.work_dir,
         batch_size=args.batch_size,
