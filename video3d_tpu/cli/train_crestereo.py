@@ -199,24 +199,31 @@ def video_batch(frames_iter, rng, batch, crop_h, crop_w, sgm_params):
     import jax.numpy as jnp
 
     from video3d_tpu.ops.image import rgb_to_gray, split_sbs, unsqueeze_width
-    from video3d_tpu.ops.stereo import sgbm_disparity
+    from video3d_tpu.ops.stereo import sgbm_disparity_jit
+    from video3d_tpu.core.xfer import to_device
 
     lefts, rights = [], []
     while len(lefts) < batch:
         frame = next(frames_iter)  # (H, W, 3) uint8
-        l, r = split_sbs(jnp.asarray(frame.astype(np.float32)))
-        l = jnp.moveaxis(unsqueeze_width(jnp.moveaxis(l, -1, 0)), 0, -1)
-        r = jnp.moveaxis(unsqueeze_width(jnp.moveaxis(r, -1, 0)), 0, -1)
+        l, r = split_sbs(to_device(frame.astype(np.float32)))
+        # materialize to host BEFORE the random crop: an eager jnp slice
+        # lowers to lax.slice with STATIC start indices, so every
+        # distinct (y0, x0) would compile and cache a fresh XLA
+        # executable -- an unbounded leak that OOM-killed the round-4
+        # 20k-step run at 82 GB RSS. The fixed-shape device work above
+        # (split/unsqueeze) compiles once; the crop is numpy.
+        l = np.asarray(jnp.moveaxis(unsqueeze_width(jnp.moveaxis(l, -1, 0)), 0, -1))
+        r = np.asarray(jnp.moveaxis(unsqueeze_width(jnp.moveaxis(r, -1, 0)), 0, -1))
         h, w = l.shape[0], l.shape[1]
         y0 = int(rng.integers(0, max(h - crop_h, 1)))
         x0 = int(rng.integers(0, max(w - crop_w, 1)))
-        lefts.append(np.asarray(l[y0 : y0 + crop_h, x0 : x0 + crop_w]))
-        rights.append(np.asarray(r[y0 : y0 + crop_h, x0 : x0 + crop_w]))
+        lefts.append(l[y0 : y0 + crop_h, x0 : x0 + crop_w])
+        rights.append(r[y0 : y0 + crop_h, x0 : x0 + crop_w])
     left = np.stack(lefts)
     right = np.stack(rights)
-    gl = rgb_to_gray(jnp.asarray(left))
-    gr = rgb_to_gray(jnp.asarray(right))
-    disp = np.asarray(sgbm_disparity(gl, gr, sgm_params, apply_speckle=True))
+    gl = rgb_to_gray(to_device(left))
+    gr = rgb_to_gray(to_device(right))
+    disp = np.asarray(sgbm_disparity_jit(gl, gr, sgm_params, apply_speckle=True))
     valid = (disp >= 0).astype(np.float32)
     gt = np.maximum(disp, 0.0)
     return left, right, gt, valid
@@ -358,7 +365,12 @@ def main(argv=None) -> int:
     print(f"CREStereo-lite: {n_params/1e6:.2f} M params, "
           f"crop {h}x{w}, batch {args.batch_size}")
 
-    put_batch = lambda *xs: xs
+    # explicit placement on every host->device batch upload: implicitly
+    # placed jit arguments LEAK the transferred buffer on jax 0.9.0
+    # (core/xfer.py) -- this is what OOM-killed the round-4 20k-step run
+    from video3d_tpu.core.xfer import to_device as _to_dev
+
+    put_batch = lambda *xs: tuple(_to_dev(x) for x in xs)
     if args.dp:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -425,7 +437,7 @@ def main(argv=None) -> int:
         from video3d_tpu.models.crestereo import train_step_k
         from video3d_tpu.utils.prefetch import BatchPrefetcher
 
-        put_stacked = lambda *xs: xs
+        put_stacked = lambda *xs: tuple(_to_dev(x) for x in xs)
         if args.dp:
             stacked_sh = NamedSharding(mesh, P(None, "frames"))
             put_stacked = lambda *xs: tuple(

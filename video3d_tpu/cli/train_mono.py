@@ -276,9 +276,15 @@ def main(argv=None) -> int:
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(sched))
     opt_state = tx.init(params)
 
-    def compact(rgb, gt, valid):  # cut relay traffic (see train_crestereo)
-        return (np.clip(np.round(rgb), 0, 255).astype(np.uint8),
-                gt.astype(np.float16), valid.astype(np.float16))
+    from video3d_tpu.core.xfer import to_device as _to_dev
+
+    def compact(rgb, gt, valid):
+        # compact dtypes cut relay traffic (see train_crestereo); the
+        # EXPLICIT placement avoids the jax 0.9.0 implicit-transfer leak
+        # that grows host RSS by the batch size every step (core/xfer.py)
+        return (_to_dev(np.clip(np.round(rgb), 0, 255).astype(np.uint8)),
+                _to_dev(gt.astype(np.float16)),
+                _to_dev(valid.astype(np.float16)))
 
     K = max(1, args.steps_per_call)
     t0 = time.time()

@@ -76,8 +76,12 @@ def find_audio_offset(
     ``correlate(audio2_norm, audio1_norm, 'full')`` and the lag is
     ``argmax|corr| - len(audio1) + 1`` samples.
     """
-    a1 = jnp.asarray(audio1, jnp.float32)
-    a2 = jnp.asarray(audio2, jnp.float32)
+    # explicit placement: audio tracks are 10s-100s of MB and a serve
+    # process aligns many jobs; implicit uploads leak (core/xfer.py)
+    from video3d_tpu.core.xfer import to_device
+
+    a1 = to_device(np.asarray(audio1, np.float32))
+    a2 = to_device(np.asarray(audio2, np.float32))
     a1n = znormalize(a1)
     a2n = znormalize(a2)
     correlation = cross_correlate_full(a2n, a1n)

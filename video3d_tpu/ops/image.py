@@ -87,15 +87,40 @@ def resample_matrix(n_in: int, n_out: int, method: str = "lanczos4") -> np.ndarr
     return mat.astype(np.float32)
 
 
+@lru_cache(maxsize=64)
+def _resample_matrix_on_device(n_in: int, n_out: int, method: str,
+                               dev_key: str):
+    from video3d_tpu.core.xfer import to_device
+
+    return to_device(resample_matrix(n_in, n_out, method))
+
+
+def _resample_mat(img, n_in: int, n_out: int, method: str) -> jnp.ndarray:
+    """Interpolation matrix for the current context.
+
+    Under tracing the numpy matrix constant-folds into the program (no
+    runtime transfer); in eager mode an implicit per-call upload would
+    LEAK the matrix buffer on jax 0.9.0 (core/xfer.py), so eager calls
+    reuse one cached device-resident copy per (shape, method, backend).
+    """
+    import jax
+
+    if isinstance(img, jax.core.Tracer):
+        return jnp.asarray(resample_matrix(n_in, n_out, method))
+    return _resample_matrix_on_device(
+        n_in, n_out, method, repr(jax.local_devices()[0])
+    )
+
+
 def resize_width(img: jnp.ndarray, w_out: int, method: str = "lanczos4") -> jnp.ndarray:
     """Resample the last (width) axis of (..., H, W) via one matmul."""
-    mat = jnp.asarray(resample_matrix(int(img.shape[-1]), w_out, method))
+    mat = _resample_mat(img, int(img.shape[-1]), w_out, method)
     return jnp.matmul(img.astype(jnp.float32), mat, precision="highest")
 
 
 def resize_height(img: jnp.ndarray, h_out: int, method: str = "lanczos4") -> jnp.ndarray:
     """Resample the second-to-last (height) axis of (..., H, W)."""
-    mat = jnp.asarray(resample_matrix(int(img.shape[-2]), h_out, method))
+    mat = _resample_mat(img, int(img.shape[-2]), h_out, method)
     # (..., H, W) -> contract H with (H, H_out): move H last, matmul, move back
     moved = jnp.swapaxes(img.astype(jnp.float32), -1, -2)  # (..., W, H)
     out = jnp.matmul(moved, mat, precision="highest")  # (..., W, H_out)

@@ -28,6 +28,7 @@ ground truth and close agreement with cv2 on textured scenes
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -722,6 +723,31 @@ def sgbm_disparity(
         )
         return disp, conf
     return disp
+
+
+@partial(jax.jit, static_argnames=("params", "apply_speckle",
+                                   "return_margin"))
+def sgbm_disparity_jit(
+    left_gray: jnp.ndarray,
+    right_gray: jnp.ndarray,
+    params: SGBMParams = SGBMParams(),
+    apply_speckle: bool = True,
+    return_margin: bool = False,
+):
+    """One-program :func:`sgbm_disparity` for EAGER call sites.
+
+    The depth pipeline already traces the matcher inside its own jit;
+    standalone callers (trainer pseudo-labeling, range probes, eval
+    harnesses) previously ran the op-by-op eager composition, where
+    every internal numpy constant is an implicitly placed upload --
+    which on jax 0.9.0 leaks the buffer per call (core/xfer.py; measured
+    +3.2 MB/call at (2, 64, 128)). Under jit the constants are embedded
+    at compile time, so repeated calls are leak-free (and dispatch
+    once instead of per-op).
+    """
+    return sgbm_disparity(left_gray, right_gray, params,
+                          apply_speckle=apply_speckle,
+                          return_margin=return_margin)
 
 
 def _speckle(disp: jnp.ndarray, params: SGBMParams) -> jnp.ndarray:

@@ -50,7 +50,10 @@ def sharded_depth_pipeline(
     """
     mesh = mesh or frames_mesh()
     sharding = shard_frames(mesh)
-    frames = jax.device_put(jnp.asarray(frames), sharding)
+    # explicit sharding placement (also the jax 0.9.0 implicit-
+    # transfer leak workaround, core/xfer.py): device_put takes
+    # the host array directly, no intermediate implicit upload
+    frames = jax.device_put(frames, sharding)
     mode = {False: None, True: "median"}.get(temporal_filter,
                                              temporal_filter)
 

@@ -14,6 +14,8 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+
+from video3d_tpu.core.xfer import to_device
 from jax.sharding import Mesh, PartitionSpec as P
 
 from video3d_tpu.parallel.mesh import FRAMES_AXIS
@@ -43,7 +45,8 @@ class TemporalMedianStream:
         self._prev_prev_last = None  # (1, H, W): frame before prev[0]
 
     def push(self, batch):
-        batch = jnp.asarray(batch)
+        if not isinstance(batch, jax.Array):  # host input: explicit
+            batch = to_device(batch)          # placement (core/xfer.py)
         out = None
         if self._prev is not None:
             left = (
@@ -103,8 +106,10 @@ class TemporalFlowEMAStream:
         """(B, H, W) uint16 depth + (B, hq, wq) guide -> (B, H, W) uint16."""
         from video3d_tpu.ops.flow import flow_ema_scan
 
-        depth = jnp.asarray(depth)
-        guide = jnp.asarray(guide)
+        if not isinstance(depth, jax.Array):
+            depth = to_device(depth)
+        if not isinstance(guide, jax.Array):
+            guide = to_device(guide)
         head = None
         if self._carry is None:
             head = depth[:1]  # frame 0: bit-exact passthrough

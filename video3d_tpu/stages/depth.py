@@ -40,8 +40,10 @@ import numpy as np
 
 from video3d_tpu.core import DepthMapWriter, VideoReader, get_video_info
 from video3d_tpu.core.cache import create_work_directory, depth_cache_dir
+from video3d_tpu.core.xfer import to_device
 from video3d_tpu.ops.image import rgb_to_gray, split_sbs, unsqueeze_width
-from video3d_tpu.ops.stereo import SGBMParams, sgbm_disparity
+from video3d_tpu.ops.stereo import (SGBMParams, sgbm_disparity,
+                                    sgbm_disparity_jit)
 
 # Guidance blend weights and mono scale (reference depth.py:358-363).
 STEREO_WEIGHT = 0.7
@@ -646,7 +648,7 @@ class StereoDepthExtractor:
                 break
         if not frames:
             return self.params.num_disparities
-        batch = jnp.asarray(np.stack(frames))
+        batch = to_device(np.stack(frames))
         left, right = split_sbs(batch.astype(jnp.float32))
         if self.unsqueeze_anamorphic:
             left = jnp.moveaxis(
@@ -655,8 +657,10 @@ class StereoDepthExtractor:
             right = jnp.moveaxis(
                 unsqueeze_width(jnp.moveaxis(right, -1, 1)), 1, -1
             )
+        # jitted entry: the eager composition leaks per call on
+        # jax 0.9.0 (core/xfer.py) and this probe runs once per shot
         disp = np.asarray(
-            sgbm_disparity(
+            sgbm_disparity_jit(
                 rgb_to_gray(left), rgb_to_gray(right), self.params,
                 apply_speckle=self.apply_speckle,
             )
@@ -920,8 +924,11 @@ class StereoDepthExtractor:
             guidance_params = getattr(self._guidance_fn, "params", None)
             want_guide = self.temporal_smooth == "flow"
             for frames, valid in reader:
+                # explicit placement: an implicit upload here leaks the
+                # full batch every iteration on jax 0.9.0 (core/xfer.py)
+                # -- ~50 MB/batch at 1080p, terabytes over a film
                 depth = depth_batch_pipeline(
-                    jnp.asarray(frames),
+                    to_device(frames),
                     params=self.params,
                     unsqueeze=self.unsqueeze_anamorphic,
                     normalize=self.normalize,

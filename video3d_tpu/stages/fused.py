@@ -26,6 +26,7 @@ from typing import Dict, Optional
 
 import jax.numpy as jnp
 import numpy as np
+from video3d_tpu.core.xfer import to_device
 
 from video3d_tpu.core import VideoReader, VideoWriter, get_video_info
 from video3d_tpu.ops.guided import (
@@ -170,7 +171,7 @@ def run_fused_depth_upscale(
                 g = np.concatenate([g, pad])
             return adaptive_upsample(
                 depth_dev,
-                jnp.asarray(g),
+                to_device(g),
                 out_h,
                 out_w,
                 radius=radius,
@@ -192,7 +193,7 @@ def run_fused_depth_upscale(
                 g = np.concatenate([g, pad])
             return guided_upsample(
                 depth_dev,
-                jnp.asarray(g),
+                to_device(g),
                 out_h,
                 out_w,
                 radius=radius,
@@ -227,7 +228,7 @@ def run_fused_depth_upscale(
 
             for frames, valid in reader:
                 depth = depth_batch_pipeline(
-                    jnp.asarray(frames),
+                    to_device(frames),
                     params=extractor.params,
                     unsqueeze=extractor.unsqueeze_anamorphic,
                     normalize=extractor.normalize,

@@ -28,6 +28,7 @@ from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
+from video3d_tpu.core.xfer import to_device
 
 from video3d_tpu.core import (
     VideoReader,
@@ -198,8 +199,8 @@ class DepthUpscaler:
                     if guide is not None and g_valid >= valid \
                             and self.method == "adaptive":
                         up = adaptive_upsample(
-                            jnp.asarray(depth),
-                            jnp.asarray(guide),
+                            to_device(depth),
+                            to_device(guide),
                             out_h,
                             out_w,
                             radius=self.radius,
@@ -217,8 +218,8 @@ class DepthUpscaler:
                                 for g in guide
                             ])
                         up = guided_upsample(
-                            jnp.asarray(depth),
-                            jnp.asarray(guide),
+                            to_device(depth),
+                            to_device(guide),
                             out_h,
                             out_w,
                             radius=self.radius,
@@ -227,10 +228,10 @@ class DepthUpscaler:
                             out_dtype=out_dtype,
                         )
                     else:  # guide ran dry: degrade to plain for the tail
-                        up = plain_upsample(jnp.asarray(depth), out_h, out_w,
+                        up = plain_upsample(to_device(depth), out_h, out_w,
                                             out_dtype=out_dtype)
                 else:
-                    up = plain_upsample(jnp.asarray(depth), out_h, out_w,
+                    up = plain_upsample(to_device(depth), out_h, out_w,
                                         out_dtype=out_dtype)
 
                 if pending is not None:
