@@ -139,30 +139,21 @@ def metrics(pred: np.ndarray, gt: np.ndarray, invalid: float,
     }
 
 
-def conf_trust_blend(sgm, conf, guide, invalid):
-    """Mirror of the pipeline's confidence blend with per-pixel local-
-    agreement trust (stages/depth.py depth_batch_pipeline): guidance
-    takes over low-confidence pixels only where it reproduces the
-    nearby confident-stereo structure."""
-    import scipy.ndimage as ndi
+def conf_trust_blend(sgm, conf, guide, invalid, trust_scale=1):
+    """The pipeline's confidence blend, through the EXACT product
+    numerics (stages/depth.py confidence_trust_blend) -- replaces the
+    earlier numpy mirror so eval rows cannot drift from shipping code.
+    ``conf`` is the stereo margin already zeroed on invalid pixels;
+    the product function re-derives the same mask from ``sgm`` (valid
+    disparities are >= min_disparity, invalid is min_disparity - 1)."""
+    import jax.numpy as jnp
 
-    agree = np.where(np.abs(guide - np.maximum(sgm, 0.0)) <= 2.0,
-                     conf, 0.0)
-    mass = conf.sum(axis=(-2, -1), keepdims=True)
-    qf = np.where(mass >= 32.0,
-                  agree.sum(axis=(-2, -1), keepdims=True)
-                  / np.maximum(mass, 1e-6), 1.0)
-    size = 17  # 2*r_t + 1, r_t = 8
-    # constant (zero) padding so num/den matches the pipeline's
-    # border-clipped box-sum ratio exactly in the interior
-    num = np.stack([ndi.uniform_filter(a, size=size, mode="constant")
-                    for a in agree])
-    den = np.stack([ndi.uniform_filter(c, size=size, mode="constant")
-                    for c in conf])
-    trust = np.clip(np.where(den > 0.02, num / np.maximum(den, 1e-6), qf),
-                    0.0, 1.0)
-    ce = 1.0 - (1.0 - conf) * trust
-    return ce * np.maximum(sgm, 0.0) + (1.0 - ce) * guide
+    from video3d_tpu.stages.depth import confidence_trust_blend
+
+    return np.asarray(confidence_trust_blend(
+        jnp.asarray(sgm), jnp.asarray(conf), jnp.asarray(guide),
+        min_disparity=float(invalid + 1), trust_scale=trust_scale,
+    ))
 
 
 def compute_preds(left, right, args, params, cre_fn):
@@ -198,6 +189,10 @@ def compute_preds(left, right, args, params, cre_fn):
         # local-agreement trust (stages/depth.py blend='confidence')
         conf = np.where(sgm != invalid, np.asarray(conf_j), 0.0)
         preds["hybrid_conf"] = conf_trust_blend(sgm, conf, cre, invalid)
+        # quarter-res trust gate (--trust-scale 4 in cli/depth.py):
+        # ~0.5 ms/frame cheaper at 1080p; this row is its quality gate
+        preds["hybrid_conf_ts4"] = conf_trust_blend(sgm, conf, cre,
+                                                    invalid, trust_scale=4)
     preds["_conf"] = np.where(preds["sgm"] != invalid, np.asarray(conf_j),
                               0.0)
 

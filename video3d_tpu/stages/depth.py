@@ -55,6 +55,92 @@ MONO_WEIGHT = 0.3
 ALGO_VERSION = 2
 
 
+def confidence_trust_blend(
+    disp: jnp.ndarray,
+    margin: jnp.ndarray,
+    guide: jnp.ndarray,
+    *,
+    min_disparity: float = 0.0,
+    trust_scale: int = 1,
+) -> jnp.ndarray:
+    """Confidence-weighted stereo/guidance mixing (the ``blend='confidence'``
+    default of :func:`depth_batch_pipeline`).
+
+    The stereo weight per pixel is the texture-gated SGM uniqueness
+    margin (ops.stereo.match_confidence) -- where block matching is
+    certain (textured surfaces) the geometric stereo answer dominates;
+    where it starves (low texture, occlusions, invalidated pixels) the
+    learned backend takes over entirely. Replaces the reference's fixed
+    0.7/0.3 (depth.py:358-363), which our eval shows dilutes the
+    learned backend exactly where it wins (eval_stereo.json:
+    hybrid-fixed low-tex bad1 0.235 vs pure CREStereo 0.079).
+
+    Per-pixel guidance TRUST from local agreement: the blend hands
+    low-confidence pixels to the guide only where the guide reproduces
+    the nearby confident-stereo structure (any guide type -- CREStereo
+    predicts disparity directly, mono/DPT after SSI alignment). A
+    collapsed or out-of-distribution guide fails this check exactly
+    where it would do damage and the frame degrades toward stereo-only
+    (holes -> 0, the reference's invalid value) instead of being
+    polluted. Measured (eval_stereo.json, bundled CREStereo, 2 px
+    agreement tolerance): OOD hybrid bad1 0.62 -> 0.404 / bad3
+    0.44 -> 0.272 (beats SGM's 0.345 at full coverage) while the
+    in-dist win holds (bad1 0.094, best of all methods).
+
+    ``trust_scale`` in {1, 2, 4}: >1 computes the trust field on an
+    s-pooled grid (box-sum cost /s^2, same spatial support) and
+    bilinearly expands the ratio. Module-level so the quality evals
+    (tools/eval_stereo.py) gate reduced-resolution trust through the
+    exact product numerics.
+    """
+    from video3d_tpu.ops.boxsum import box_sum_2d
+
+    conf = jnp.where(disp > min_disparity - 0.5, margin, 0.0)
+    stereo_pos = jnp.maximum(disp, 0.0)
+    agree = jnp.where(jnp.abs(guide - stereo_pos) <= 2.0, conf, 0.0)
+    conf_mass = jnp.sum(conf, axis=(-2, -1), keepdims=True)
+    q_frame = jnp.where(
+        conf_mass >= 32.0,  # else: nothing to judge -> trust
+        jnp.sum(agree, axis=(-2, -1), keepdims=True)
+        / jnp.maximum(conf_mass, 1e-6),
+        1.0,
+    )
+    r_t = 8
+    if trust_scale > 1:
+        # reduced-resolution trust field: agreement mass is
+        # low-frequency (r=8 box), so pool agree/conf s x s,
+        # window at r_t/s, and bilinearly expand the ratio.
+        # Cuts the gate's box-sum cost ~s^2; same support.
+        from video3d_tpu.ops.image import resize2d
+
+        s = int(trust_scale)
+        bb = agree.shape[0]
+        hh, ww = agree.shape[-2], agree.shape[-1]
+        hq, wq = hh // s, ww // s
+
+        def pool(a):
+            return a[:, : hq * s, : wq * s].reshape(
+                bb, hq, s, wq, s
+            ).sum(axis=(2, 4))
+
+        num = box_sum_2d(pool(agree), max(1, r_t // s))
+        den = box_sum_2d(pool(conf), max(1, r_t // s))
+        area = box_sum_2d(
+            jnp.full((bb, hq, wq), float(s * s)), max(1, r_t // s)
+        )
+        trust_q = jnp.where(den > 0.02 * area,
+                            num / jnp.maximum(den, 1e-6), q_frame)
+        trust = resize2d(trust_q, hh, ww, method="bilinear")
+    else:
+        num = box_sum_2d(agree, r_t)
+        den = box_sum_2d(conf, r_t)
+        area = box_sum_2d(jnp.ones_like(conf), r_t)
+        trust = jnp.where(den > 0.02 * area,
+                          num / jnp.maximum(den, 1e-6), q_frame)
+    conf = 1.0 - (1.0 - conf) * jnp.clip(trust, 0.0, 1.0)
+    return conf * stereo_pos + (1.0 - conf) * guide
+
+
 @partial(
     jax.jit,
     static_argnames=(
@@ -194,78 +280,11 @@ def depth_batch_pipeline(
                                  float(params.num_disparities))
                 guide = jnp.where(s > 0.0, g_ssi, guide)
         if blend == "confidence":
-            # confidence-weighted mixing (default): the stereo weight per
-            # pixel is the texture-gated SGM uniqueness margin
-            # (ops.stereo.match_confidence) -- where block matching is
-            # certain (textured surfaces) the geometric stereo answer
-            # dominates; where it starves (low texture, occlusions,
-            # invalidated pixels) the learned backend takes over
-            # entirely. Replaces the reference's fixed 0.7/0.3
-            # (depth.py:358-363), which our eval shows dilutes the
-            # learned backend exactly where it wins (eval_stereo.json:
-            # hybrid-fixed low-tex bad1 0.235 vs pure CREStereo 0.079).
-            # blend='fixed' restores reference parity.
-            conf = jnp.where(disp > float(params.min_disparity) - 0.5,
-                             margin, 0.0)  # invalid stereo -> guidance
-            # Per-pixel guidance TRUST from local agreement: the blend
-            # hands low-confidence pixels to the guide only where the
-            # guide reproduces the nearby confident-stereo structure
-            # (any guide type -- CREStereo predicts disparity directly,
-            # mono/DPT after the SSI alignment above). A collapsed or
-            # out-of-distribution guide fails this check exactly where
-            # it would do damage and the frame degrades toward
-            # stereo-only (holes -> 0, the reference's invalid value)
-            # instead of being polluted. Measured (eval_stereo.json,
-            # bundled CREStereo, 2 px agreement tolerance): OOD hybrid
-            # bad1 0.62 -> 0.404 / bad3 0.44 -> 0.272 (beats SGM's
-            # 0.345 at full coverage) while the in-dist win holds
-            # (bad1 0.094, best of all methods).
-            from video3d_tpu.ops.boxsum import box_sum_2d
-
-            stereo_pos = jnp.maximum(disp, 0.0)
-            agree = jnp.where(jnp.abs(guide - stereo_pos) <= 2.0,
-                              conf, 0.0)
-            conf_mass = jnp.sum(conf, axis=(-2, -1), keepdims=True)
-            q_frame = jnp.where(
-                conf_mass >= 32.0,  # else: nothing to judge -> trust
-                jnp.sum(agree, axis=(-2, -1), keepdims=True)
-                / jnp.maximum(conf_mass, 1e-6),
-                1.0,
+            disp = confidence_trust_blend(
+                disp, margin, guide,
+                min_disparity=float(params.min_disparity),
+                trust_scale=trust_scale,
             )
-            r_t = 8
-            if trust_scale > 1:
-                # reduced-resolution trust field: agreement mass is
-                # low-frequency (r=8 box), so pool agree/conf s x s,
-                # window at r_t/s, and bilinearly expand the ratio.
-                # Cuts the gate's box-sum cost ~s^2; same support.
-                from video3d_tpu.ops.image import resize2d
-
-                s = int(trust_scale)
-                bb = agree.shape[0]
-                hh, ww = agree.shape[-2], agree.shape[-1]
-                hq, wq = hh // s, ww // s
-
-                def pool(a):
-                    return a[:, : hq * s, : wq * s].reshape(
-                        bb, hq, s, wq, s
-                    ).sum(axis=(2, 4))
-
-                num = box_sum_2d(pool(agree), max(1, r_t // s))
-                den = box_sum_2d(pool(conf), max(1, r_t // s))
-                area = box_sum_2d(
-                    jnp.full((bb, hq, wq), float(s * s)), max(1, r_t // s)
-                )
-                trust_q = jnp.where(den > 0.02 * area,
-                                    num / jnp.maximum(den, 1e-6), q_frame)
-                trust = resize2d(trust_q, hh, ww, method="bilinear")
-            else:
-                num = box_sum_2d(agree, r_t)
-                den = box_sum_2d(conf, r_t)
-                area = box_sum_2d(jnp.ones_like(conf), r_t)
-                trust = jnp.where(den > 0.02 * area,
-                                  num / jnp.maximum(den, 1e-6), q_frame)
-            conf = 1.0 - (1.0 - conf) * jnp.clip(trust, 0.0, 1.0)
-            disp = conf * stereo_pos + (1.0 - conf) * guide
         else:
             # reference blend contract 0.7/0.3 (depth.py:358-363);
             # stereo_weight=0 hands the frame to the learned backend
