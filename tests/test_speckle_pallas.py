@@ -91,6 +91,26 @@ def test_block_rows_selection():
     assert speckle_block_rows(1000, 10) == 40
 
 
+@pytest.mark.parametrize("h,w", [(80, 128), (240, 256)])
+def test_prefix_scan_window_matches_direct(monkeypatch, h, w):
+    """The opt-in prefix-scan horizontal window (VIDEO3D_TPU_SPECKLE_PREFIX=1)
+    must stay bit-identical to the default masked-roll formulation; the env
+    var is read at trace time so monkeypatch.setenv takes effect per call."""
+    rng = np.random.default_rng(3)
+    disp = _random_disp(rng, 2, h, w)
+    kw = dict(invalid=-1.0, max_diff=32.0, min_region=100, interpret=True)
+    direct = np.asarray(speckle_filter_pallas(disp, **kw))
+    monkeypatch.setenv("VIDEO3D_TPU_SPECKLE_PREFIX", "1")
+    prefix = np.asarray(speckle_filter_pallas(disp, **kw))
+    np.testing.assert_array_equal(prefix, direct)
+    # reference agreement too, so a double failure can't cancel out
+    ref = np.asarray(
+        speckle_filter_device(disp, invalid=-1.0, max_diff=32.0,
+                              min_region=100)
+    )
+    np.testing.assert_array_equal(prefix, ref)
+
+
 def test_min_region_zero_is_identity():
     rng = np.random.default_rng(2)
     disp = _random_disp(rng, 1, 48, 64)
