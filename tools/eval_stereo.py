@@ -420,6 +420,16 @@ def main() -> None:
     if not args.no_clip:
         result["clip_lr_consistency"] = lr_consistency_clip(args, params,
                                                             cre_fn)
+    result["notes"] = {
+        "trust_scale_4": (
+            "hybrid_conf_ts4 = the confidence blend with the trust field "
+            "pooled 4x (--trust-scale 4): ~0.5 ms/frame cheaper at 1080p "
+            "(1.01 vs 1.57 ms measured), EPE equal-or-better everywhere, "
+            "bad1 +0.007..0.009 on the OOD/mono-cues families -- kept "
+            "OPT-IN (default --trust-scale 1) because the trust gate's "
+            "value is exactly its OOD discrimination"
+        ),
+    }
 
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)

@@ -89,8 +89,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Resolution divisor of the guidance trust field "
                         "(blend='confidence'): 1 = exact full-res local "
                         "agreement; 2/4 pool the agreement mass before "
-                        "the windowed sums (same support, ~s^2 cheaper, "
-                        "OOD-safety property tested for both)")
+                        "the windowed sums (same support, ~s^2 cheaper). "
+                        "Quality-gated in eval_stereo.json "
+                        "(hybrid_conf_ts4): 4 saves ~0.5 ms/frame at "
+                        "1080p with equal-or-better EPE but bad1 "
+                        "+0.007-0.009 on the OOD families, so full-res "
+                        "stays the default")
     p.add_argument("--guidance-every", type=int, default=4,
                    help="Run the neural guidance on every Kth frame of a "
                         "batch and reuse it in between (keyframe "
