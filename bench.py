@@ -226,6 +226,41 @@ def bench_hybrid_mono():
          note="bundled MonoDepthLite checkpoint (self-hosted mono slot)")
 
 
+def bench_hybrid_crestereo():
+    """(4c) the SHIPPED DEFAULT hybrid config: --guidance crestereo with
+    keyframe guidance K=4 and the trust-gated confidence blend, measured
+    with the bundled trained checkpoint -- the row a user gets from
+    ``python -m video3d_tpu.cli.depth video.mp4`` with no flags."""
+    import os as _os
+
+    from video3d_tpu.models.crestereo import load_crestereo_guidance
+    from video3d_tpu.ops.stereo import SGBMParams
+    from video3d_tpu.stages.depth import depth_batch_pipeline
+
+    ckpt = _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                         "crestereo_ckpt")
+    if not _os.path.isdir(ckpt):
+        return
+    guidance_fn = load_crestereo_guidance(ckpt)
+    b = 4
+    rng = np.random.default_rng(2)
+    frames = rng.integers(0, 255, (b, 1080, 1920, 3), dtype=np.uint8)
+
+    def fn(x, p):
+        return depth_batch_pipeline(
+            x, params=SGBMParams(), unsqueeze=True, normalize="fixed",
+            apply_speckle=True, guidance_fn=guidance_fn, guidance_params=p,
+            guidance_every=4,
+        )
+
+    n_iters = 4
+    dt = chain_loop(fn, frames, n_iters, extras=(guidance_fn.params,))
+    emit("hybrid_crestereo_gev4_depth_fps_per_chip", b * n_iters / dt,
+         "frames/sec",
+         note="SHIPPED DEFAULT config: bundled CREStereo-lite ckpt, "
+              "keyframe K=4, trust-gated confidence blend")
+
+
 def bench_smooth():
     """(8) flow-guided temporal EMA smoother, standalone at 1080p."""
     from video3d_tpu.ops.flow import FlowEMAParams, flow_ema_scan
@@ -583,6 +618,7 @@ def main() -> None:
     if "hybrid" in want:
         bench_hybrid()
         bench_hybrid_mono()
+        bench_hybrid_crestereo()
     if "e2e" in want:
         e2e_row = bench_e2e()
     if "encode" in want:
