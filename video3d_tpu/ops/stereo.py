@@ -588,6 +588,25 @@ def texture_energy(lf: jnp.ndarray, cap: int, radius: int = 2) -> jnp.ndarray:
     return box_sum_2d(e, radius) / window_area(h, w, radius)
 
 
+def xla_sgm_fallback_chunk(height: int, width: int,
+                           num_disparities: int) -> int:
+    """Frames per chunk the pure-XLA SGM fallback can hold live at once.
+
+    Calibrated on the live chip: the fallback's peak live set measured
+    ~31 B per cost-volume element (XLA compile report: 16.40 GB needed
+    at batch 8, 1080x960x64). Budgets 65% of the device HBM limit at a
+    conservative 32 B/element so neighbouring buffers (inputs, guidance,
+    XLA temps) keep headroom.
+    """
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = stats.get("bytes_limit", 16 * 2**30)
+    except Exception:
+        limit = 16 * 2**30
+    vol = height * width * num_disparities
+    return max(1, int(limit * 0.65 / (vol * 32)))
+
+
 def pallas_sgm_supported(w: int) -> bool:
     """Whether the Pallas stereo kernels can lower for this width.
 
@@ -702,16 +721,52 @@ def sgbm_disparity(
                                     return_margin=return_margin)
         disp, margin = res if return_margin else (res, None)
     else:
-        lf = xsobel_clip(left_gray, params.prefilter_cap)
-        rf = xsobel_clip(right_gray, params.prefilter_cap)
-        cost = bt_cost_volume(
-            lf, rf, params.num_disparities, params.min_disparity
+        def _xla_chunk(pair):
+            lg, rg = pair
+            lf_ = xsobel_clip(lg, params.prefilter_cap)
+            rf_ = xsobel_clip(rg, params.prefilter_cap)
+            cost = bt_cost_volume(
+                lf_, rf_, params.num_disparities, params.min_disparity
+            )
+            cost = box_aggregate(cost, params.block_size)
+            # keep the border-invalid strip truly invalid after window sums
+            cost = jnp.minimum(cost, BIG)
+            agg = sgm_aggregate(cost, params)
+            return wta_disparity(agg, params, return_margin=return_margin)
+
+        # The pure-XLA formulation's live set (f32 volume + box-window
+        # temps + per-direction scan stacking) is ~32 bytes per cost-
+        # volume element -- ~2 GB/frame at 1080p/64D -- so a batch that
+        # the Pallas int16 path holds easily OOMs here (measured: 16.40
+        # GB at batch 8 on a 15.75 GB chip). Chunk the batch through
+        # lax.map so any outer batch size is memory-safe at identical
+        # numerics (the map is a scan over vmapped chunks).
+        batch = left_gray.shape[0] if left_gray.ndim >= 3 else None
+        chunk = xla_sgm_fallback_chunk(
+            left_gray.shape[-2], left_gray.shape[-1],
+            params.num_disparities,
         )
-        cost = box_aggregate(cost, params.block_size)
-        # keep the border-invalid strip truly invalid after windowed sums
-        cost = jnp.minimum(cost, BIG)
-        agg = sgm_aggregate(cost, params)
-        res = wta_disparity(agg, params, return_margin=return_margin)
+        if batch is not None and batch > chunk:
+            # explicit (n, chunk, H, W) stacking + lax.map keeps exactly
+            # one chunk's volume live (scan serializes); the ops need a
+            # real batch axis, so vmap-based chunking does not apply
+            n_full = batch // chunk
+            head = tuple(
+                x[: n_full * chunk].reshape((n_full, chunk) + x.shape[1:])
+                for x in (left_gray, right_gray)
+            )
+            res = jax.tree_util.tree_map(
+                lambda t: t.reshape((n_full * chunk,) + t.shape[2:]),
+                jax.lax.map(_xla_chunk, head),
+            )
+            if batch > n_full * chunk:
+                tail = _xla_chunk((left_gray[n_full * chunk:],
+                                   right_gray[n_full * chunk:]))
+                res = jax.tree_util.tree_map(
+                    lambda a, b: jnp.concatenate([a, b], axis=0), res, tail
+                )
+        else:
+            res = _xla_chunk((left_gray, right_gray))
         disp, margin = res if return_margin else (res, None)
     if apply_speckle and params.speckle_window_size > 0:
         disp = _speckle(disp, params)
