@@ -80,6 +80,7 @@ def _flush_results():
         "hybrid_mono_depth_fps_per_chip",
         "hybrid_crestereo_gev4_depth_fps_per_chip",
         "encode_4k_fps_single", "encode_4k_fps_ultrafast",
+        "encode_4k_fps_x264_threads",
         "encode_4k_fps_segment_parallel", "e2e_slice_seconds",
         "e2e_film_projection_minutes_v5e8", "fused_slice_seconds",
         "e2e_film_projection_minutes_v5e8_fused_measured",
@@ -571,6 +572,18 @@ def bench_encode():
                 for i in range(n_frames):
                     vw.write(pool[i % len(pool)])
             dt_fast = time.perf_counter() - t0
+        # x264 internal frame threads: one encoder instance spread over
+        # all host cores -- no segment bookkeeping (threads=0 lets x264
+        # pick ~1.5x cores). Equal to the single row on a 1-core host.
+        dt_thr = None
+        if backend != "opencv/mp4v":
+            t0 = time.perf_counter()
+            with VideoWriter(str(Path(td) / "thr.mp4"), w, h, 23.976,
+                             preset="ultrafast",
+                             threads=os.cpu_count() or 1) as vw:
+                for i in range(n_frames):
+                    vw.write(pool[i % len(pool)])
+            dt_thr = time.perf_counter() - t0
         t0 = time.perf_counter()
         with SegmentParallelVideoWriter(
             str(Path(td) / "par.mp4"), w, h, 23.976, workers=workers,
@@ -589,6 +602,14 @@ def bench_encode():
             "encode_4k_fps_ultrafast", n_frames / dt_fast, "frames/sec",
             backend=backend, host_cores=os.cpu_count(),
             note="crf=18 preset=ultrafast: the single-core CPU config",
+        )
+    if dt_thr is not None:
+        emit(
+            "encode_4k_fps_x264_threads", n_frames / dt_thr, "frames/sec",
+            backend=backend, threads=os.cpu_count(),
+            host_cores=os.cpu_count(),
+            note="x264 internal frame threads (one encoder, all cores); "
+                 "MEASURED at this host's core count",
         )
     emit(
         "encode_4k_fps_segment_parallel", n_frames / dt_par, "frames/sec",

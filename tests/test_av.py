@@ -212,3 +212,48 @@ def test_av_audio_max_duration(tmp_path):
     audio, rate = read_wav(out)
     assert rate == 22050
     assert abs(len(audio) - 2 * 22050) <= 1
+
+
+def test_writer_internal_threads(tmp_path):
+    """x264 frame-level threading (VideoWriter threads=N -> avio
+    thread_count): a threads=2 encode must produce a decodable stream
+    with every frame present and pixels close to the threads=1 output
+    (frame threads change encoder scheduling, not the decode contract).
+    Throughput scaling needs a multi-core host; this guards the
+    contract so the flag is safe to flip when one appears."""
+    frames = _gray_frames(n=12)
+    paths = {}
+    for threads in (1, 2):
+        p = str(tmp_path / f"t{threads}.mp4")
+        with VideoWriter(p, 96, 64, 24.0, backend="av",
+                         preset="veryfast", threads=threads) as w:
+            for f in frames:
+                w.write(f)
+        paths[threads] = p
+    for threads, p in paths.items():
+        r = VideoReader(p, batch_size=4, backend="av")
+        got = sum(valid for _, valid in r)
+        assert got == len(frames), (threads, got)
+    r1 = VideoReader(paths[1], batch_size=16, backend="av")
+    r2 = VideoReader(paths[2], batch_size=16, backend="av")
+    b1, n1 = next(iter(r1))
+    b2, n2 = next(iter(r2))
+    assert n1 == n2 == 12
+    assert np.abs(b1.astype(int) - b2.astype(int)).mean() < 2.0
+
+
+def test_segment_parallel_worker_threads(tmp_path):
+    """Segment workers each carrying x264-internal threads compose:
+    frames all present after the box-level concat."""
+    from video3d_tpu.core.video import SegmentParallelVideoWriter
+
+    p = str(tmp_path / "segt.mp4")
+    frames = _gray_frames(n=20)
+    with SegmentParallelVideoWriter(
+        p, 96, 64, 24.0, workers=2, segment_frames=6, backend="av",
+        preset="veryfast", threads=2,
+    ) as w:
+        for f in frames:
+            w.write(f)
+    r = VideoReader(p, batch_size=8, backend="av")
+    assert sum(valid for _, valid in r) == 20

@@ -55,6 +55,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "CPU hosts should use veryfast/ultrafast)")
     p.add_argument("--encode-workers", type=int, default=1,
                    help="segment-parallel encoder threads")
+    p.add_argument("--encode-threads", type=int, default=0,
+                   help="x264 internal frame threads per encoder "
+                        "(0 = auto)")
     p.add_argument("--cache-depth", action="store_true",
                    help="In --fused mode, also write the depth PNG cache "
                         "(restores resumability at the cost of the "
@@ -86,6 +89,7 @@ def main(argv=None) -> int:
         cache_depth=args.cache_depth,
         encode_preset=args.encode_preset,
         encode_workers=args.encode_workers,
+        encode_threads=args.encode_threads,
     )
     return 1 if result.get("stopped") else 0
 

@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--encode-workers", type=int, default=1,
                    help="segment-parallel encoder threads (>1 scales "
                         "with host cores; native box-level concat)")
+    p.add_argument("--encode-threads", type=int, default=0,
+                   help="x264 internal frame threads per encoder "
+                        "(0 = auto; scales one encoder across cores "
+                        "without segment bookkeeping)")
     p.add_argument("--use-nvenc", action="store_true",
                    help="Accepted for parity (upscale.py:15); software encode")
     p.add_argument("--force", action="store_true")
@@ -87,6 +91,7 @@ def main(argv=None) -> int:
         crf=args.crf,
         preset=args.preset,
         encode_workers=args.encode_workers,
+        encode_threads=args.encode_threads,
     )
     out = upscaler.process_depth_upscaling(
         args.depth_dir,

@@ -221,7 +221,14 @@ class VideoWriter:
         preset: str = "medium",
         use_nvenc: bool = False,
         backend: Optional[str] = None,
+        threads: int = 0,
     ):
+        """``threads`` sets the encoder's internal (x264 frame-level)
+        thread count; 0 = auto (x264 picks ~1.5x cores). Orthogonal to
+        :class:`SegmentParallelVideoWriter`'s ``workers`` -- x264 frame
+        threads scale one encoder instance across cores with no segment
+        bookkeeping, at a small quality/ratecontrol cost; segment
+        workers scale perfectly but need the box-level concat."""
         self.output_path = str(output_path)
         self.width, self.height, self.fps = int(width), int(height), float(fps)
         if backend is None:
@@ -231,6 +238,7 @@ class VideoWriter:
         self._cv = None
         self._av = None
         self._crf, self._preset = int(crf), preset
+        self._enc_threads = int(threads)
         if self.backend == "av":
             pass  # opened lazily: gray vs RGB mode comes from frame 1
         elif self.backend == "ffmpeg":
@@ -240,6 +248,8 @@ class VideoWriter:
                 "-s", f"{self.width}x{self.height}", "-r", f"{self.fps:.6f}",
                 "-i", "pipe:0",
                 "-c:v", "libx264", "-crf", str(crf), "-preset", preset,
+                *(["-threads", str(self._enc_threads)]
+                  if self._enc_threads > 0 else []),
                 "-pix_fmt", "yuv420p", self.output_path,
             ]
             self._proc = subprocess.Popen(cmd, stdin=subprocess.PIPE)
@@ -266,7 +276,7 @@ class VideoWriter:
                 self._av = AVWriter(
                     self.output_path, self.width, self.height, self.fps,
                     crf=self._crf, preset=self._preset,
-                    gray=(frame.ndim == 2),
+                    gray=(frame.ndim == 2), threads=self._enc_threads,
                 )
             if frame.ndim == 2 and not self._av.gray:
                 frame = np.repeat(frame[..., None], 3, axis=-1)
@@ -300,6 +310,7 @@ class VideoWriter:
                 self._av = AVWriter(
                     self.output_path, self.width, self.height, self.fps,
                     crf=self._crf, preset=self._preset,
+                    threads=self._enc_threads,
                 )
             av, self._av = self._av, None
             av.close()
@@ -352,7 +363,12 @@ class SegmentParallelVideoWriter:
         crf: int = 18,
         preset: str = "medium",
         backend: Optional[str] = None,
+        threads: int = 1,
     ):
+        """``threads`` is each worker's x264-internal thread count
+        (default 1: with N segment workers already pinning N cores,
+        letting every instance auto-spawn ~1.5x-cores x264 threads
+        oversubscribes the host; raise it only when workers < cores)."""
         import queue as _queue
         import threading
 
@@ -361,6 +377,7 @@ class SegmentParallelVideoWriter:
         self.segment_frames = int(segment_frames)
         self.workers = max(1, int(workers))
         self._crf, self._preset, self._backend = crf, preset, backend
+        self._enc_threads = int(threads)
         self._n = 0
         self._segments: list = []
         self._tmpdir = Path(self.output_path).parent
@@ -395,7 +412,7 @@ class SegmentParallelVideoWriter:
                     writer = VideoWriter(
                         self._segment_path(seg), self.width, self.height,
                         self.fps, crf=self._crf, preset=self._preset,
-                        backend=self._backend,
+                        backend=self._backend, threads=self._enc_threads,
                     )
                     cur_seg = seg
                 writer.write(frame)

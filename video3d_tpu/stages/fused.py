@@ -85,6 +85,7 @@ def run_fused_depth_upscale(
     crf: int = 18,
     preset: str = "medium",
     encode_workers: int = 1,
+    encode_threads: int = 0,
 ) -> Dict:
     """SBS video -> 4K depth video in one device-resident loop.
 
@@ -209,10 +210,12 @@ def run_fused_depth_upscale(
         writer_cm = SegmentParallelVideoWriter(
             str(output_path), out_w, out_h, fps, workers=encode_workers,
             crf=crf, preset=preset,
+            threads=encode_threads if encode_threads > 0 else 1,
         )
     else:
         writer_cm = VideoWriter(
-            str(output_path), out_w, out_h, fps, crf=crf, preset=preset
+            str(output_path), out_w, out_h, fps, crf=crf, preset=preset,
+            threads=encode_threads,
         )
     with writer_cm as writer:
         try:

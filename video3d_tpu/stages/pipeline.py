@@ -61,6 +61,7 @@ def run_pipeline(
     cache_depth: bool = False,
     encode_preset: str = "medium",
     encode_workers: int = 1,
+    encode_threads: int = 0,
 ) -> Dict:
     """Run the full pipeline; returns artifacts + per-step timings.
 
@@ -160,6 +161,7 @@ def run_pipeline(
             cache_dir=cache,
             preset=encode_preset,
             encode_workers=encode_workers,
+            encode_threads=encode_threads,
         )
         timings["depth+upscale (fused)"] = time.time() - t0
         result.update(fused_res)
@@ -216,6 +218,7 @@ def run_pipeline(
         upscaler = DepthUpscaler(
             work_dir=str(work), method=upscale_method,
             preset=encode_preset, encode_workers=encode_workers,
+            encode_threads=encode_threads,
         )
         output = upscaler.process_depth_upscaling(
             str(depth_dir),

@@ -59,6 +59,7 @@ class DepthUpscaler:
         crf: int = 18,
         preset: str = "medium",
         encode_workers: int = 1,
+        encode_threads: int = 0,
     ):
         """``crf``/``preset`` follow the reference encode contract
         (upscale.py:56-59: crf=18, preset=medium). The reference offloads
@@ -68,7 +69,10 @@ class DepthUpscaler:
         ``encode_workers`` > 1 -- segment-parallel encoders on separate
         threads, stitched by the native box-level concat
         (core/video.py SegmentParallelVideoWriter), scaling with host
-        cores."""
+        cores. ``encode_threads`` is the x264-internal frame-thread
+        count (0 = auto with a single writer, 1 per worker when
+        segment-parallel); it scales ONE encoder across cores without
+        segment bookkeeping."""
         self.work_dir = Path(work_dir)
         self.work_dir.mkdir(parents=True, exist_ok=True)
         self.use_nvenc = use_nvenc
@@ -80,6 +84,7 @@ class DepthUpscaler:
         self.crf = int(crf)
         self.preset = str(preset)
         self.encode_workers = int(encode_workers)
+        self.encode_threads = int(encode_threads)
 
     def process_depth_upscaling(
         self,
@@ -155,11 +160,13 @@ class DepthUpscaler:
                 str(output_path), out_w, out_h, fps,
                 workers=self.encode_workers, crf=self.crf,
                 preset=self.preset,
+                threads=self.encode_threads if self.encode_threads > 0 else 1,
             )
         else:
             writer_cm = VideoWriter(
                 str(output_path), out_w, out_h, fps,
                 use_nvenc=self.use_nvenc, crf=self.crf, preset=self.preset,
+                threads=self.encode_threads,
             )
         with writer_cm as writer:
             # one batch in flight: the previous batch's device->host
