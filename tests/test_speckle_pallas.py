@@ -41,8 +41,8 @@ def _blobby_disp(rng, b, h, w, invalid=-1.0):
         (240, 160, 9),  # four row blocks
         (48, 128, 9),  # single block (nblk=1 lookahead edge case)
         (80, 128, 25),  # radius 5
-        (80, 128, 100),  # radius 10: production default, prefix-scan path
-        (240, 256, 100),  # prefix-scan path across several row blocks
+        (80, 128, 100),  # radius 10: production default
+        (240, 256, 100),  # radius 10 across several row blocks
     ],
 )
 def test_pallas_speckle_matches_device(h, w, min_region):
@@ -89,26 +89,6 @@ def test_block_rows_selection():
     assert speckle_block_rows(13, 12) == 13
     assert speckle_block_rows(10, 10) is None
     assert speckle_block_rows(1000, 10) == 40
-
-
-@pytest.mark.parametrize("h,w", [(80, 128), (240, 256)])
-def test_prefix_scan_window_matches_direct(monkeypatch, h, w):
-    """The opt-in prefix-scan horizontal window (VIDEO3D_TPU_SPECKLE_PREFIX=1)
-    must stay bit-identical to the default masked-roll formulation; the env
-    var is read at trace time so monkeypatch.setenv takes effect per call."""
-    rng = np.random.default_rng(3)
-    disp = _random_disp(rng, 2, h, w)
-    kw = dict(invalid=-1.0, max_diff=32.0, min_region=100, interpret=True)
-    direct = np.asarray(speckle_filter_pallas(disp, **kw))
-    monkeypatch.setenv("VIDEO3D_TPU_SPECKLE_PREFIX", "1")
-    prefix = np.asarray(speckle_filter_pallas(disp, **kw))
-    np.testing.assert_array_equal(prefix, direct)
-    # reference agreement too, so a double failure can't cancel out
-    ref = np.asarray(
-        speckle_filter_device(disp, invalid=-1.0, max_diff=32.0,
-                              min_region=100)
-    )
-    np.testing.assert_array_equal(prefix, ref)
 
 
 def test_min_region_zero_is_identity():

@@ -167,12 +167,29 @@ def main() -> None:
             phase_rmse = [
                 float(np.sqrt((err[p::k] ** 2).mean())) for p in range(k)
             ]
+            # PERCEPTUAL phase check (r4 verdict task 7): does the
+            # fraction of visibly-wrong pixels (bad1) swing with the
+            # frame's phase inside a keyframe group -- overall, and on
+            # the moving-object edge band where stale-guidance ghosting
+            # would concentrate? kphase_spread (RMSE) can be driven by
+            # a few large-error pixels; a bad1 swing is what a viewer
+            # would see as pulsing.
+            phase_bad1 = [
+                float((err[p::k] > 1.0).mean()) for p in range(k)
+            ]
+            phase_bad1_edge = [
+                float((err[p::k][me[p::k]] > 1.0).mean()) for p in range(k)
+            ]
             acc[name].append(dict(
                 rmse=float(np.sqrt((err ** 2).mean())),
                 bad1=float((err > 1.0).mean()),
                 flicker=float(tdiff[static].mean()),
                 edge_rmse=float(np.sqrt((err[me] ** 2).mean())),
                 kphase_spread=float(max(phase_rmse) - min(phase_rmse)),
+                kphase_bad1_spread=float(
+                    max(phase_bad1) - min(phase_bad1)),
+                kphase_bad1_edge_spread=float(
+                    max(phase_bad1_edge) - min(phase_bad1_edge)),
             ))
 
     table = {}
@@ -184,12 +201,25 @@ def main() -> None:
     print(f"[keyframe] {args.scenes} scenes x {T} frames "
           f"{args.h}x{args.w}, ckpt={args.ckpt}, batch={args.batch}")
     hdr = f"{'config':>12} | {'RMSE':>6} {'bad1':>6} {'flicker':>8} " \
-          f"{'edgeRMSE':>9} {'Kspread':>8}"
+          f"{'edgeRMSE':>9} {'Kspread':>8} {'Kbad1':>7} {'KbadE':>7}"
     print(hdr)
     for name, r in table.items():
         print(f"{name:>12} | {r['rmse']:6.3f} {r['bad1']:6.3f} "
               f"{r['flicker']:8.4f} {r['edge_rmse']:9.3f} "
-              f"{r['kphase_spread']:8.4f}")
+              f"{r['kphase_spread']:8.4f} {r['kphase_bad1_spread']:7.4f} "
+              f"{r['kphase_bad1_edge_spread']:7.4f}")
+    # Documented K policy (r4 verdict task 7): keyframe reuse is only a
+    # legitimate default while the PERCEPTUAL phase artifact stays
+    # small -- kphase_bad1_edge_spread <= 0.05 (<=5 % of moving-edge
+    # pixels swinging between good/bad with frame phase) AND bad1
+    # within 0.01 of K=1. If a config crosses either bound, drop K to
+    # the largest value that passes (K=1 always passes: spread == 0).
+    for name, r in table.items():
+        if name.startswith("K") and name != "K1":
+            r["phase_artifact_ok"] = bool(
+                r["kphase_bad1_edge_spread"] <= 0.05
+                and r["bad1"] - table["K1"]["bad1"] <= 0.01
+            )
     with open(args.out, "w") as f:
         json.dump({"config": vars(args), "metrics": table}, f, indent=1)
     print(f"wrote {args.out}")

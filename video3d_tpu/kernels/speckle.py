@@ -119,46 +119,22 @@ def _speckle_kernel(
         # scoped-vmem stack under its 16 MB budget at 1080p
         strip = 8 if rr_rows % 8 == 0 else rr_rows
         x_iota = jax.lax.broadcasted_iota(jnp.int32, (strip, w), 1)
-        # two formulations of the [x-r, x+r] lane-window sum:
-        #  * direct: 2r masked rolls -- cheapest for small radii;
-        #  * prefix: log2(w)-step inclusive scan + 2 rolls (window =
-        #    cs[x+r] - cs[x-r-1]). Exact: every value is an integer
-        #    count <= 21*W, far under f32's 2^24 integer range.
-        #    MEASURED on v5e (2026-08): despite fewer rolls at radius 10
-        #    (13 vs 20), the scan's serial dependence loses ~8% vs the
-        #    independent masked rolls (1.16 vs 1.08 ms/frame full
-        #    speckle), so it is opt-in, kept for wider future windows.
-        import os
-
-        use_prefix = (
-            2 * radius > math.ceil(math.log2(w)) + 4
-            and os.environ.get("VIDEO3D_TPU_SPECKLE_PREFIX", "0") == "1"
-        )
+        # [x-r, x+r] lane-window sum as 2r independent masked rolls.
+        # A log2(w)-step prefix-scan formulation (window =
+        # cs[x+r] - cs[x-r-1], fewer rolls at radius 10: 13 vs 20) was
+        # A/B'd ON CHIP and DELETED: the scan's serial dependence lost
+        # ~8% to the independent rolls (1.16 vs 1.08 ms/frame full
+        # speckle on v5e, 2026-08) -- the VPU hides independent
+        # roll+select issue slots better than a dependent chain.
         for k in range(n_bands):
             for g in range(0, rr_rows, strip):
                 col = boxbuf_ref[k, g : g + strip, :]
-                if use_prefix:
-                    cs = col
-                    shift = 1
-                    while shift < w:
-                        rolled = pltpu.roll(cs, shift, axis=1)
-                        cs = cs + jnp.where(x_iota >= shift, rolled, 0.0)
-                        shift *= 2
-                    total = cs[:, w - 1 : w]  # full-row sum, (strip, 1)
-                    hi = jnp.where(
-                        x_iota < w - radius,
-                        pltpu.roll(cs, w - radius, axis=1),  # cs[x+r]
-                        total,
-                    )
-                    lo = pltpu.roll(cs, radius + 1, axis=1)  # cs[x-r-1]
-                    acc = hi - jnp.where(x_iota >= radius + 1, lo, 0.0)
-                else:
-                    acc = col
-                    for s in range(1, radius + 1):
-                        right = pltpu.roll(col, s, axis=1)  # = col[x-s]
-                        acc = acc + jnp.where(x_iota >= s, right, 0.0)
-                        left = pltpu.roll(col, w - s, axis=1)  # col[x+s]
-                        acc = acc + jnp.where(x_iota < w - s, left, 0.0)
+                acc = col
+                for s in range(1, radius + 1):
+                    right = pltpu.roll(col, s, axis=1)  # = col[x-s]
+                    acc = acc + jnp.where(x_iota >= s, right, 0.0)
+                    left = pltpu.roll(col, w - s, axis=1)  # col[x+s]
+                    acc = acc + jnp.where(x_iota < w - s, left, 0.0)
                 boxbuf_ref[k, g : g + strip, :] = acc
 
         disp = emit_ref[0]
