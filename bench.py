@@ -78,6 +78,7 @@ def _flush_results():
         "hybrid_dpt_depth_fps_per_chip",
         "hybrid_dpt_gev4_depth_fps_per_chip",
         "hybrid_mono_depth_fps_per_chip",
+        "hybrid_mono_gev4_depth_fps_per_chip",
         "hybrid_crestereo_gev4_depth_fps_per_chip",
         "encode_4k_fps_single", "encode_4k_fps_ultrafast",
         "encode_4k_fps_x264_threads",
@@ -287,6 +288,19 @@ def bench_hybrid_mono():
     emit("hybrid_mono_depth_fps_per_chip", b * n_iters / dt, "frames/sec",
          note="bundled MonoDepthLite checkpoint (self-hosted mono slot)")
 
+    def fn4(x, p):
+        return depth_batch_pipeline(
+            x, params=SGBMParams(), unsqueeze=True, normalize="fixed",
+            apply_speckle=True, guidance_fn=guidance_fn, guidance_params=p,
+            guidance_every=4,
+        )
+
+    dt = chain_loop(fn4, frames, n_iters, extras=(guidance_fn.params,))
+    emit("hybrid_mono_gev4_depth_fps_per_chip", b * n_iters / dt,
+         "frames/sec",
+         note="--guidance mono at the CLI's default keyframe cadence "
+              "(K=4): the config a user actually gets")
+
 
 def bench_hybrid_crestereo():
     """(4c) the SHIPPED DEFAULT hybrid config: --guidance crestereo with
@@ -312,7 +326,7 @@ def bench_hybrid_crestereo():
         return depth_batch_pipeline(
             x, params=SGBMParams(), unsqueeze=True, normalize="fixed",
             apply_speckle=True, guidance_fn=guidance_fn, guidance_params=p,
-            guidance_every=4,
+            guidance_every=4, fill_holes=True,
         )
 
     n_iters = 4
@@ -320,7 +334,8 @@ def bench_hybrid_crestereo():
     emit("hybrid_crestereo_gev4_depth_fps_per_chip", b * n_iters / dt,
          "frames/sec",
          note="SHIPPED DEFAULT config: bundled CREStereo-lite ckpt, "
-              "keyframe K=4, trust-gated confidence blend")
+              "keyframe K=4, trust-gated confidence blend over the "
+              "background-filled stereo base (auto --fill-holes)")
 
 
 def bench_smooth():

@@ -78,3 +78,39 @@ def test_depth_pipeline_fill_holes_full_coverage():
     # valid pixels unchanged
     valid = plain >= scale  # disparity >= 1
     np.testing.assert_array_equal(filled[valid], plain[valid])
+
+
+def test_fill_holes_auto_default(tmp_path):
+    """AUTO fill-holes: on with guidance, off for stereo-only (reference
+    parity), explicit override wins, guidance soft-fallback reverts."""
+    from video3d_tpu.stages.depth import StereoDepthExtractor
+
+    ex = StereoDepthExtractor(work_dir=str(tmp_path / "a"), guidance="none")
+    assert ex.fill_holes is False
+    assert "+fill" not in ex._model_key()
+
+    ex2 = StereoDepthExtractor(
+        work_dir=str(tmp_path / "b"), guidance="crestereo"
+    )
+    assert ex2.fill_holes is True
+    assert "+fill" in ex2._model_key()
+
+    ex3 = StereoDepthExtractor(
+        work_dir=str(tmp_path / "c"), guidance="crestereo", fill_holes=False
+    )
+    assert ex3.fill_holes is False
+
+    ex4 = StereoDepthExtractor(
+        work_dir=str(tmp_path / "d"), guidance="none", fill_holes=True
+    )
+    assert ex4.fill_holes is True
+
+    # guidance load failure degrades to stereo-only AND reverts auto fill
+    ex5 = StereoDepthExtractor(
+        work_dir=str(tmp_path / "e"), guidance="dpt",
+        model_checkpoint=str(tmp_path / "nonexistent_ckpt"),
+    )
+    assert ex5.fill_holes is True
+    ex5.load_model()
+    assert ex5.guidance == "none"
+    assert ex5.fill_holes is False

@@ -193,6 +193,14 @@ def compute_preds(left, right, args, params, cre_fn):
         # ~0.5 ms/frame cheaper at 1080p; this row is its quality gate
         preds["hybrid_conf_ts4"] = conf_trust_blend(sgm, conf, cre,
                                                     invalid, trust_scale=4)
+        # --fill-holes COMPOSED with the confidence blend: the product
+        # runs the background-extension fill BEFORE the blend
+        # (stages/depth.py:216-223), so the blend's stereo base is the
+        # filled map and untrusted holes degrade to background
+        # extension instead of 0. Margin stays RAW (not re-zeroed) at
+        # filled pixels, exactly as in the product path.
+        preds["hybrid_conf_filled"] = conf_trust_blend(
+            preds["sgm_filled"], np.asarray(conf_j), cre, invalid)
     preds["_conf"] = np.where(preds["sgm"] != invalid, np.asarray(conf_j),
                               0.0)
 

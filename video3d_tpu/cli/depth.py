@@ -53,11 +53,17 @@ def build_parser() -> argparse.ArgumentParser:
                    "(depth.py:399-404)")
     p.add_argument("--no-speckle", action="store_true",
                    help="Skip speckle filtering")
-    p.add_argument("--fill-holes", action="store_true",
+    p.add_argument("--fill-holes", action=argparse.BooleanOptionalAction,
+                   default=None,
                    help="Fill invalid pixels (occlusions, LR/uniqueness "
                         "failures) with the background-extension "
                         "occlusion fill (min of nearest valid left/"
-                        "right neighbor) before any guidance blend")
+                        "right neighbor) before any guidance blend. "
+                        "Default: AUTO -- on whenever neural guidance "
+                        "is active (the filled map is the confidence "
+                        "blend's stereo base; better on every "
+                        "eval_stereo.json family), off for stereo-only "
+                        "(reference parity: holes ship as 0)")
     p.add_argument("--auto-range", action="store_true",
                    help="Probe a frame sample and narrow the disparity "
                         "range to the content (SGM cost is linear in "

@@ -338,7 +338,7 @@ class StereoDepthExtractor:
         flow_scale: int = 4,
         stereo_weight: float = STEREO_WEIGHT,
         blend: str = "confidence",
-        fill_holes: bool = False,
+        fill_holes: Optional[bool] = None,
         guidance_every: int = 4,
         trust_scale: int = 1,
         params: SGBMParams = SGBMParams(),
@@ -390,7 +390,7 @@ class StereoDepthExtractor:
         if blend not in ("confidence", "fixed"):
             raise ValueError(f"blend must be confidence|fixed: {blend}")
         self.blend = blend
-        self.fill_holes = bool(fill_holes)
+        self.fill_holes = fill_holes
         if guidance_every < 1:
             raise ValueError(f"guidance_every must be >= 1: {guidance_every}")
         self.guidance_every = int(guidance_every)
@@ -405,6 +405,30 @@ class StereoDepthExtractor:
         self._norm_disparities: Optional[int] = None
 
     # -- guidance backends -------------------------------------------------
+
+    @property
+    def fill_holes(self) -> bool:
+        """Background-extension occlusion fill (ops/fill.py), AUTO by
+        default: ON whenever a guidance net is active, OFF for
+        stereo-only (reference parity: holes ship as 0, reference
+        depth.py:374).
+
+        The fill runs BEFORE the confidence blend, so it is the blend's
+        stereo base -- untrusted/hole pixels degrade to background
+        extension instead of 0. Quality-gated in eval_stereo.json
+        (hybrid_conf_filled vs hybrid_conf, bundled ckpt): in-dist bad1
+        0.060 vs 0.094, OOD 0.345 vs 0.404, rendered-clip LR bad1 0.256
+        vs 0.411 -- better on every family, so it IS the default hybrid.
+        Explicit True/False (CLI --fill-holes/--no-fill-holes) overrides.
+        Guidance soft-fallback to stereo-only also reverts the auto fill,
+        keeping the parity contract."""
+        if self._fill_holes_opt is not None:
+            return self._fill_holes_opt
+        return self.guidance not in ("none", "stereo_only")
+
+    @fill_holes.setter
+    def fill_holes(self, v) -> None:
+        self._fill_holes_opt = None if v is None else bool(v)
 
     def load_model(self) -> None:
         """Resolve the guidance backend once (reference depth.py:60-114).
