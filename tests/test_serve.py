@@ -36,6 +36,9 @@ def _launch_server(tmp_path, n_devices=1, extra_args=()):
     proc = subprocess.Popen(
         [sys.executable, "-c", boot,
          "--socket", sock, "--work-dir", str(tmp_path / "w"),
+         # stereo-only: these tests exercise job/pool mechanics, not the
+         # guidance backend (which defaults to the hybrid since round 5)
+         "--guidance", "none",
          "--no-unsqueeze", "--batch-size", "2", *extra_args],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )

@@ -24,8 +24,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--force", action="store_true",
                    help="Recompute cached artifacts")
     p.add_argument("--guidance", choices=["none", "dpt", "crestereo", "mono"],
-                   default="none",
-                   help="Neural guidance backend for the depth stage")
+                   default="crestereo",
+                   help="Neural guidance backend for the depth stage. "
+                        "Default matches the depth CLI: the bundled "
+                        "CREStereo-lite hybrid (the reference's "
+                        "run_pipeline also runs its neural depth "
+                        "extractor by default, run_pipeline.py:63-68); "
+                        "'none' = stereo-only")
     p.add_argument("--upscale-method", choices=["guided", "adaptive", "scale"],
                    default="guided")
     p.add_argument("--batch-size", type=int, default=None)

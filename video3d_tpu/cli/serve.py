@@ -66,7 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Default work dir for jobs that don't set one")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--guidance", choices=["none", "dpt", "crestereo", "mono"],
-                   default="none")
+                   default="crestereo",
+                   help="Guidance backend for all jobs (resolved once at "
+                        "boot). Default matches the depth CLI's bundled "
+                        "hybrid; pass 'none' for stereo-only throughput")
     p.add_argument("--model", default="Intel/dpt-large")
     p.add_argument("--no-unsqueeze", action="store_true")
     p.add_argument("--temporal-smooth", default=None,

@@ -48,7 +48,7 @@ def run_pipeline(
     skip_upscale: bool = False,
     max_frames: Optional[int] = None,
     force: bool = False,
-    guidance: str = "none",
+    guidance: str = "crestereo",
     upscale_method: str = "guided",
     batch_size: Optional[int] = None,
     min_correlation: float = 0.6,
