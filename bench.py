@@ -75,6 +75,7 @@ def _flush_results():
         merged = []
     order = [
         "alignment_30s_clips_seconds", "guided_upscale_4k_fps_per_chip",
+        "adaptive_upscale_4k_fps_per_chip",
         "hybrid_dpt_depth_fps_per_chip",
         "hybrid_dpt_gev4_depth_fps_per_chip",
         "hybrid_mono_depth_fps_per_chip",
@@ -214,6 +215,22 @@ def bench_upscale():
     dt = chain_loop(fn, depth, n_iters, extras=(guide,))
     fps = b * n_iters / dt
     emit("guided_upscale_4k_fps_per_chip", fps, "frames/sec")
+
+    # the SHIPPED DEFAULT upscale since round 5: per-pixel guided/plain
+    # mix (best or tied on every eval_upscale.json family)
+    from video3d_tpu.ops.guided import adaptive_upsample
+
+    guide_rgb = rng.integers(0, 255, (b, 2160, 3840, 3)).astype(np.uint8)
+
+    def fn_a(d, g):
+        return adaptive_upsample(d, g, 2160, 3840, radius=8, eps=1e-3,
+                                 out_dtype="uint8")
+
+    dt = chain_loop(fn_a, depth, n_iters, extras=(guide_rgb,))
+    emit("adaptive_upscale_4k_fps_per_chip", b * n_iters / dt,
+         "frames/sec",
+         note="SHIPPED DEFAULT upscale method (--upscale-method "
+              "adaptive): per-pixel guided/plain mix")
 
 
 def bench_hybrid():

@@ -32,7 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "extractor by default, run_pipeline.py:63-68); "
                         "'none' = stereo-only")
     p.add_argument("--upscale-method", choices=["guided", "adaptive", "scale"],
-                   default="guided")
+                   default="adaptive",
+                   help="'adaptive' (default): best or tied on every "
+                        "eval_upscale.json family; 'guided': reference "
+                        "README contract; 'scale': plain-resize parity")
     p.add_argument("--batch-size", type=int, default=None)
     p.add_argument("--min-correlation", type=float, default=0.6,
                    help="Stop after alignment below this (align.py:172)")

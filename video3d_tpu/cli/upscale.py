@@ -25,7 +25,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--work-dir", default="temp_upscale")
     p.add_argument("--output", default=None,
                    help="Output path (default: depth_4k_<dirname>.mp4)")
-    p.add_argument("--method", choices=["guided", "adaptive", "scale"], default="guided")
+    p.add_argument("--method", choices=["guided", "adaptive", "scale"],
+                   default="adaptive",
+                   help="'adaptive' (default): per-pixel mix of guided "
+                        "and plain by local depth/guide gradient "
+                        "correlation -- best or tied on every "
+                        "eval_upscale.json family; 'guided': the "
+                        "edge-preserving filter the reference README "
+                        "promises; 'scale': plain-resize parity")
     p.add_argument("--guide-mode", choices=["gray", "color"], default="gray",
                    help="Guided-filter guide: luma (fast) or full RGB "
                    "covariance (also preserves iso-luminant color edges)")

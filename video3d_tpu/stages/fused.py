@@ -75,7 +75,7 @@ def run_fused_depth_upscale(
     guide_start_frame: int = 0,
     max_frames: Optional[int] = None,
     extractor: Optional[StereoDepthExtractor] = None,
-    upscale_method: str = "guided",
+    upscale_method: str = "adaptive",
     guide_mode: str = "gray",
     radius: int = 8,
     eps: float = 1e-3,

@@ -49,7 +49,7 @@ def run_pipeline(
     max_frames: Optional[int] = None,
     force: bool = False,
     guidance: str = "crestereo",
-    upscale_method: str = "guided",
+    upscale_method: str = "adaptive",
     batch_size: Optional[int] = None,
     min_correlation: float = 0.6,
     temporal_smooth: Optional[str] = None,

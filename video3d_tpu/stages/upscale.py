@@ -51,7 +51,14 @@ class DepthUpscaler:
         self,
         work_dir: str = "temp_upscale",
         use_nvenc: bool = False,  # accepted for CLI parity; selects libx264
-        method: str = "guided",
+        # 'adaptive' (default since round 5): per-pixel mix of
+        # guided-color and plain by local depth/guide gradient
+        # correlation -- matches or beats the better single method on
+        # every eval_upscale.json family (the guided filter halluci-
+        # nates guide texture into flat depth on camouflaged content:
+        # bad1 3x plain there). 'guided' = the reference README's
+        # promised edge-preserving filter; 'scale' = plain-resize parity
+        method: str = "adaptive",
         batch_size: int = 4,
         radius: int = 8,
         eps: float = 1e-3,
